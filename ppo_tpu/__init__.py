@@ -1,0 +1,18 @@
+"""ppo_tpu — a TPU-native actor-learner PPO framework.
+
+A from-scratch JAX/XLA re-design of the capabilities of autonomousvision/ppo.cpp
+(reference mounted at /root/reference):
+
+- ``ppo_tpu.ops``      — RL math: distributions, GAE, PPO losses, running statistics.
+- ``ppo_tpu.physics``  — pure-JAX vectorized rigid-body physics engine (MJX-style),
+                         replacing the reference's C++ MuJoCo binding (gymcpp).
+- ``ppo_tpu.envs``     — functional environments (HalfCheetah-v5, Hopper-v5, Ant-v5,
+                         Humanoid-v4), vectorized autoreset, wrappers.
+- ``ppo_tpu.models``   — actor-critic networks (Gaussian MLP, Beta MLP, Roach CNN).
+- ``ppo_tpu.algos``    — PPO / AC-PPO trainers (rollout via lax.scan, overlapped
+                         rollout/update pipelining).
+- ``ppo_tpu.parallel`` — device-mesh sharding, collectives, distributed utilities.
+- ``ppo_tpu.utils``    — TensorBoard event writing, timing, checkpointing, config.
+"""
+
+__version__ = "0.1.0"
