@@ -1,0 +1,112 @@
+"""Quaternion / rotation / spatial-algebra helpers.
+
+Works with either numpy or jax.numpy arrays (pure elementwise math). Quaternions
+are (w, x, y, z). Spatial 6-vectors follow the [angular(3); linear(3)] layout so
+every intermediate can be diffed against the installed MuJoCo in tests.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def quat_mul(q1, q2):
+    w1, x1, y1, z1 = q1[..., 0], q1[..., 1], q1[..., 2], q1[..., 3]
+    w2, x2, y2, z2 = q2[..., 0], q2[..., 1], q2[..., 2], q2[..., 3]
+    return jnp.stack(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ],
+        axis=-1,
+    )
+
+
+def quat_conj(q):
+    return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+
+
+def quat_rot(q, v):
+    """Rotate vector v by quaternion q (active rotation, body->world)."""
+    qv = q[..., 1:]
+    w = q[..., 0:1]
+    t = 2.0 * jnp.cross(qv, v)
+    return v + w * t + jnp.cross(qv, t)
+
+
+def quat_rot_inv(q, v):
+    """Rotate v by the inverse of q (world->body)."""
+    qv = q[..., 1:]
+    w = q[..., 0:1]
+    t = 2.0 * jnp.cross(-qv, v)
+    return v + w * t + jnp.cross(-qv, t)
+
+
+def quat_to_mat(q):
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    return jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], axis=-1),
+            jnp.stack([r10, r11, r12], axis=-1),
+            jnp.stack([r20, r21, r22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def quat_exp(phi):
+    """exp map: rotation vector (3,) -> quaternion, q = [cos(|phi|/2), sin(...)*phi_hat]."""
+    angle = jnp.linalg.norm(phi, axis=-1, keepdims=True)
+    # Safe normalization for tiny angles.
+    small = angle < 1e-12
+    axis = jnp.where(small, jnp.zeros_like(phi).at[..., 0].set(1.0), phi / jnp.where(small, 1.0, angle))
+    half = angle[..., 0] / 2.0
+    w = jnp.cos(half)
+    xyz = axis * jnp.sin(half)[..., None]
+    return jnp.concatenate([w[..., None], xyz], axis=-1)
+
+
+def quat_integrate(q, omega, dt):
+    """mju_quatIntegrate: q <- q * exp(omega * dt), omega in local frame."""
+    return normalize_quat(quat_mul(q, quat_exp(omega * dt)))
+
+
+def normalize_quat(q):
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def quat_z2vec(v):
+    """Quaternion rotating the z-axis onto the (unit) vector v (mju_quatZ2Vec)."""
+    z = jnp.asarray([0.0, 0.0, 1.0], dtype=v.dtype)
+    cross = jnp.cross(z, v)
+    sin_a = jnp.linalg.norm(cross)
+    cos_a = v[..., 2]
+    # handle parallel / antiparallel
+    angle = jnp.arctan2(sin_a, cos_a)
+    axis = jnp.where(sin_a < 1e-12, jnp.asarray([1.0, 0.0, 0.0], dtype=v.dtype), cross / jnp.where(sin_a < 1e-12, 1.0, sin_a))
+    return quat_exp(axis * angle)
+
+
+def motion_cross(v, u):
+    """Spatial motion cross product v x u, both [ang; lin]."""
+    ang = jnp.cross(v[..., :3], u[..., :3])
+    lin = jnp.cross(v[..., :3], u[..., 3:]) + jnp.cross(v[..., 3:], u[..., :3])
+    return jnp.concatenate([ang, lin], axis=-1)
+
+
+def force_cross(v, f):
+    """Spatial force cross product v x* f, v motion [ang; lin], f force [ang(torque); lin]."""
+    ang = jnp.cross(v[..., :3], f[..., :3]) + jnp.cross(v[..., 3:], f[..., 3:])
+    lin = jnp.cross(v[..., :3], f[..., 3:])
+    return jnp.concatenate([ang, lin], axis=-1)
