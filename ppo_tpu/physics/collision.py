@@ -47,8 +47,10 @@ def _mix_params(m: Model, g1: int, g2: int):
     friction = np.maximum(m.geom_friction[g1], m.geom_friction[g2])
     solref = mix * m.geom_solref[g1] + (1 - mix) * m.geom_solref[g2]
     solimp = mix * m.geom_solimp[g1] + (1 - mix) * m.geom_solimp[g2]
-    margin = max(m.geom_margin[g1], m.geom_margin[g2])
-    gap = max(m.geom_gap[g1], m.geom_gap[g2])
+    # margins/gaps ADD across the pair (verified empirically: includemargin =
+    # margin1 + margin2 for a pair with margins 0.005/0.002)
+    margin = m.geom_margin[g1] + m.geom_margin[g2]
+    gap = m.geom_gap[g1] + m.geom_gap[g2]
     return condim, friction, solref, solimp, margin, gap
 
 
@@ -200,7 +202,8 @@ def collide(m: Model, geom_xpos, geom_xmat, slots=None) -> Contacts:
         includemargin=includemargin,
         margin=np.array([s["margin"] for s in slots]),
         condim=np.array([s["condim"] for s in slots], int),
-        friction=np.array([s["friction"][:2] for s in slots]),
+        # both tangential directions use the sliding friction coefficient
+        friction=np.array([[s["friction"][0], s["friction"][0]] for s in slots]),
         solref=np.array([s["solref"] for s in slots]),
         solimp=np.array([s["solimp"] for s in slots]),
     )

@@ -1,0 +1,183 @@
+"""Forward dynamics + integrators: the jit/vmap-able `mj_step` equivalent.
+
+Pipeline (matches MuJoCo's mj_forward -> integrator order):
+  kinematics -> com quantities -> CRB(M) -> velocities -> RNE bias -> passive
+  -> actuation -> collision -> constraint rows -> qacc_smooth -> dual PGS
+  -> qacc -> Euler (implicit joint damping) or RK4.
+
+`make_step_fn(model)` closes over the static model (arrays become XLA
+constants) and returns a pure step for a single env; batch with `vmap`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppo_tpu.physics import collision, constraint, smooth, solver
+from ppo_tpu.physics import math as pm
+from ppo_tpu.physics.model import Model
+from ppo_tpu.physics.types import EULER, FREE, RK4
+
+
+class ForwardOut(NamedTuple):
+    qacc: jnp.ndarray
+    qacc_smooth: jnp.ndarray
+    qfrc_smooth: jnp.ndarray
+    qfrc_constraint: jnp.ndarray
+    efc_force: jnp.ndarray
+    efc: constraint.Efc
+    contacts: collision.Contacts
+    kin: smooth.Kin
+    com: smooth.ComQuants
+    vel: smooth.Vel
+    M: jnp.ndarray
+
+
+def forward(m: Model, qpos, qvel, ctrl, slots, mask, iterations=None) -> ForwardOut:
+    iterations = iterations or m.opt.solver_iterations
+    kin = smooth.kinematics(m, qpos)
+    com = smooth.com_quantities(m, kin)
+    M = smooth.crb_mass_matrix(m, com, mask)
+    vel = smooth.com_velocities(m, com, qvel)
+    qfrc_bias = smooth.rne_bias(m, com, vel, qvel, mask)
+    qfrc_passive = smooth.passive_forces(m, qpos, qvel)
+    qfrc_actuator = smooth.actuator_forces(m, ctrl)
+    qfrc_smooth = qfrc_passive + qfrc_actuator - qfrc_bias
+
+    Mchol = jax.scipy.linalg.cho_factor(M)
+    qacc_smooth = jax.scipy.linalg.cho_solve(Mchol, qfrc_smooth)
+
+    contacts = collision.collide(m, kin.geom_xpos, kin.geom_xmat, slots)
+    efc = constraint.make_efc(m, com, mask, qpos, qvel, contacts)
+
+    ne = efc.J.shape[0]
+    if ne:
+        MiJT = jax.scipy.linalg.cho_solve(Mchol, efc.J.T)      # [nv, ne]
+        A = efc.J @ MiJT + jnp.diag(efc.R)
+        b = efc.J @ qacc_smooth - efc.aref
+        f = solver.solve_pgs(A, b, iterations)
+        qfrc_constraint = efc.J.T @ f
+        qacc = qacc_smooth + MiJT @ f
+    else:
+        f = jnp.zeros((0,), qvel.dtype)
+        qfrc_constraint = jnp.zeros_like(qfrc_smooth)
+        qacc = qacc_smooth
+
+    return ForwardOut(
+        qacc=qacc, qacc_smooth=qacc_smooth, qfrc_smooth=qfrc_smooth,
+        qfrc_constraint=qfrc_constraint, efc_force=f, efc=efc,
+        contacts=contacts, kin=kin, com=com, vel=vel, M=M,
+    )
+
+
+def integrate_pos(m: Model, qpos, qvel, dt):
+    """mj_integratePos: linear for slide/hinge, quaternion exp for free."""
+    out = qpos
+    for j in range(m.njnt):
+        qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+        if m.jnt_type[j] == FREE:
+            out = out.at[qadr : qadr + 3].add(dt * qvel[dadr : dadr + 3])
+            q = pm.quat_integrate(qpos[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], dt)
+            out = out.at[qadr + 3 : qadr + 7].set(q)
+        else:
+            out = out.at[qadr].add(dt * qvel[dadr])
+    return out
+
+
+def _euler_step(m: Model, slots, mask, qpos, qvel, ctrl, iterations):
+    h = m.opt.timestep
+    fwd = forward(m, qpos, qvel, ctrl, slots, mask, iterations)
+    damping = np.asarray(m.dof_damping)
+    if damping.any():
+        # implicit joint damping: dv = h * (M + h diag(B))^-1 (f_smooth + f_constraint)
+        MhB = fwd.M + jnp.diag(jnp.asarray(h * damping, qvel.dtype))
+        qfrc = fwd.qfrc_smooth + fwd.qfrc_constraint
+        dv = h * jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(MhB), qfrc)
+    else:
+        dv = h * fwd.qacc
+    qvel_new = qvel + dv
+    qpos_new = integrate_pos(m, qpos, qvel_new, h)
+    return qpos_new, qvel_new, fwd
+
+
+_RK4_A = ((0.5,), (0.0, 0.5), (0.0, 0.0, 1.0))
+_RK4_B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
+
+
+def _rk4_step(m: Model, slots, mask, qpos, qvel, ctrl, iterations):
+    h = m.opt.timestep
+    fwd0 = forward(m, qpos, qvel, ctrl, slots, mask, iterations)
+    Fv = [qvel]
+    Fa = [fwd0.qacc]
+    for i in range(3):
+        dv = sum(a * v for a, v in zip(_RK4_A[i], Fv) if a)
+        da = sum(a * acc for a, acc in zip(_RK4_A[i], Fa) if a)
+        qpos_i = integrate_pos(m, qpos, dv, h)
+        qvel_i = qvel + h * da
+        fwd_i = forward(m, qpos_i, qvel_i, ctrl, slots, mask, iterations)
+        Fv.append(qvel_i)
+        Fa.append(fwd_i.qacc)
+    dv = sum(b * v for b, v in zip(_RK4_B, Fv))
+    da = sum(b * a for b, a in zip(_RK4_B, Fa))
+    qpos_new = integrate_pos(m, qpos, dv, h)
+    qvel_new = qvel + h * da
+    return qpos_new, qvel_new, fwd0
+
+
+def step(m: Model, slots, mask, qpos, qvel, ctrl, iterations=None):
+    """One mj_step: returns (qpos', qvel', ForwardOut at the pre-step state)."""
+    iterations = iterations or m.opt.solver_iterations
+    if m.opt.integrator == EULER:
+        return _euler_step(m, slots, mask, qpos, qvel, ctrl, iterations)
+    return _rk4_step(m, slots, mask, qpos, qvel, ctrl, iterations)
+
+
+def make_step_fn(m: Model, iterations=None):
+    """Build a closed-over single-env step(qpos, qvel, ctrl) ready for jit/vmap."""
+    slots = collision.contact_slots(m)
+    mask = smooth.ancestor_mask(m)
+
+    def _step(qpos, qvel, ctrl):
+        qpos2, qvel2, _ = step(m, slots, mask, qpos, qvel, ctrl, iterations)
+        return qpos2, qvel2
+
+    return _step
+
+
+def rne_post_constraint(m: Model, com, vel, fwd: ForwardOut, mask):
+    """cfrc_ext: per-body com-based external (contact) force [nbody, 6],
+    torque-first, about each body's c-frame origin (mj_rnePostConstraint subset:
+    no xfrc_applied / equality constraints in these models)."""
+    dtype = fwd.qacc.dtype
+    nbody = m.nbody
+    cfrc_ext = jnp.zeros((nbody, 6), dtype)
+    origins = com.subtree_com[np.maximum(m.body_rootid, 0)]
+    contacts = fwd.contacts
+    # recover world-frame contact forces from pyramid coefficients
+    for s in range(len(contacts.geom1)):
+        rows = np.nonzero(fwd.efc.slot_id == s)[0]
+        if len(rows) == 0:
+            continue
+        f_rows = fwd.efc_force[rows]
+        frame = contacts.frame[s]
+        if len(rows) == 1:
+            force_w = frame[0] * f_rows[0]
+        else:
+            mu = contacts.friction[s]
+            normal = jnp.sum(f_rows)
+            t1 = mu[0] * (f_rows[0] - f_rows[1])
+            t2 = mu[1] * (f_rows[2] - f_rows[3])
+            force_w = frame[0] * normal + frame[1] * t1 + frame[2] * t2
+        pos = contacts.pos[s]
+        b1, b2 = int(contacts.body1[s]), int(contacts.body2[s])
+        for b, sign in ((b1, -1.0), (b2, 1.0)):
+            if b == 0:
+                continue
+            torque = jnp.cross(pos - origins[b], sign * force_w)
+            cfrc_ext = cfrc_ext.at[b].add(jnp.concatenate([torque, sign * force_w]))
+    return cfrc_ext

@@ -304,3 +304,44 @@ def actuator_forces(m: Model, ctrl: jnp.ndarray) -> jnp.ndarray:
         j = m.actuator_trnid[u]
         qfrc = qfrc.at[m.jnt_dofadr[j]].add(jnp.asarray(m.actuator_gear[u], dtype) * c)
     return qfrc
+
+
+def point_jacobians(m: Model, com: ComQuants, mask: np.ndarray, p, b: int):
+    """Translational/rotational jacobians (3 x nv) of world point p on body b.
+
+    v(p) = cdof_lin + cdof_ang x (p - O) summed over ancestor dofs, where O is
+    the c-frame origin of each dof's kinematic tree.
+    """
+    dtype = com.cdof.dtype
+    origins = com.subtree_com[np.maximum(m.body_rootid[m.dof_bodyid], 0)]  # [nv, 3]
+    jacp = com.cdof[:, 3:] + jnp.cross(com.cdof[:, :3], p[None, :] - origins)
+    jacr = com.cdof[:, :3]
+    sel = jnp.asarray(mask[b][:, None], dtype)
+    return (sel * jacp).T, (sel * jacr).T
+
+
+def set_const(m: Model) -> Model:
+    """Fill dof_invweight0 / body_invweight0 (mj_setConst equivalent):
+    inverse-weight diagonals of M^-1 at qpos0, used by constraint regularizers."""
+    qpos0 = jnp.asarray(m.qpos0)
+    kin = kinematics(m, qpos0)
+    com = com_quantities(m, kin)
+    mask = ancestor_mask(m)
+    M = crb_mass_matrix(m, com, mask)
+    Minv = jnp.linalg.inv(M)
+    dof_inv = np.array(jnp.diag(Minv))
+    bw = np.zeros((m.nbody, 2))
+    for b in range(1, m.nbody):
+        jacp, jacr = point_jacobians(m, com, mask, kin.xipos[b], b)
+        bw[b, 0] = float(jnp.trace(jacp @ Minv @ jacp.T)) / 3.0
+        bw[b, 1] = float(jnp.trace(jacr @ Minv @ jacr.T)) / 3.0
+    m.body_invweight0 = bw
+    # free-joint dofs use the body's isotropic invweights instead of diag(M^-1)
+    for j in range(m.njnt):
+        if m.jnt_type[j] == FREE:
+            d0 = m.jnt_dofadr[j]
+            b = m.jnt_bodyid[j]
+            dof_inv[d0 : d0 + 3] = bw[b, 0]
+            dof_inv[d0 + 3 : d0 + 6] = bw[b, 1]
+    m.dof_invweight0 = dof_inv
+    return m
