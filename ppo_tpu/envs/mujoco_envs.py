@@ -1,0 +1,299 @@
+"""The four locomotion environments on the pure-JAX physics engine.
+
+Each env reproduces the reference's gymcpp implementation exactly:
+  HalfCheetah-v5: libs/gymcpp/mujoco/half_cheetah_v5.h (obs 17, fs 5, Euler)
+  Hopper-v5:      libs/gymcpp/mujoco/hopper_v5.h       (obs 11, fs 4, RK4)
+  Ant-v5:         libs/gymcpp/mujoco/ant_v5.h          (obs 105, fs 5, RK4)
+  Humanoid-v4:    libs/gymcpp/mujoco/humanoid_v4.h     (obs 376, fs 5, RK4)
+
+API: env.reset(key) -> (EnvState, obs); env.step(state, action) ->
+(EnvState, obs, reward, terminated, truncated). Pure functions — vmap over the
+leading axis of EnvState for lockstep vectorization; no per-env threads
+(replaces ParVectorEnv's thread pool, gym.h:276-366).
+
+Note on staleness parity: gymnasium/gymcpp read `cfrc_ext`, `cinert`, `cvel`,
+`qfrc_actuator` and `xpos` from mjData *after* mj_step, where they reflect the
+last substep's pre-integration state. We reproduce that by deriving those
+observables from the final substep's ForwardOut.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ppo_tpu.physics import collision, forward, smooth
+from ppo_tpu.physics.model import Model, gym_asset_path, load_model
+
+
+@struct.dataclass
+class EnvState:
+    qpos: jax.Array
+    qvel: jax.Array
+    t: jax.Array                  # elapsed steps in episode (int32)
+    key: jax.Array                # per-env RNG key
+    x_before: jax.Array           # body-x / com-x used for velocity rewards
+
+
+class StepExtras(NamedTuple):
+    """Last-substep forward quantities needed by obs/reward."""
+    fwd: forward.ForwardOut
+    cfrc_ext: jax.Array | None
+    ctrl: jax.Array | None = None
+
+
+class MujocoEnv:
+    """Shared machinery: physics substepping, reset noise scaffolding."""
+
+    frame_skip: int = 5
+    max_episode_steps: int = 1000
+    action_low: float = -1.0
+    action_high: float = 1.0
+    needs_cfrc: bool = False
+
+    def __init__(self, dtype=jnp.float32, solver_iterations: int | None = None):
+        self.dtype = dtype
+        self.model: Model = smooth.set_const(load_model(gym_asset_path(self.xml)))
+        self.ctx = forward.make_context(self.model)
+        self.iterations = solver_iterations or self.model.opt.solver_iterations
+        self.dt = self.model.opt.timestep * self.frame_skip
+        self.nq, self.nv, self.nu = self.model.nq, self.model.nv, self.model.nu
+
+    # -- physics ----------------------------------------------------------
+    def _substeps(self, qpos, qvel, ctrl):
+        # first frame_skip-1 substeps under scan (one step body in the graph),
+        # final substep unrolled so its ForwardOut feeds obs/reward staleness
+        if self.frame_skip > 1:
+            def body(carry, _):
+                qp, qv = carry
+                qp2, qv2, _ = forward.step(self.model, self.ctx, qp, qv, ctrl, self.iterations)
+                return (qp2, qv2), None
+
+            (qpos, qvel), _ = jax.lax.scan(
+                body, (qpos, qvel), None, length=self.frame_skip - 1
+            )
+        qpos, qvel, last_fwd = forward.step(
+            self.model, self.ctx, qpos, qvel, ctrl, self.iterations
+        )
+        extras = StepExtras(
+            fwd=last_fwd,
+            cfrc_ext=(
+                forward.rne_post_constraint(self.model, last_fwd.com, last_fwd.vel, last_fwd)
+                if self.needs_cfrc else None
+            ),
+            ctrl=ctrl,
+        )
+        return qpos, qvel, extras
+
+    def _forward_only(self, qpos, qvel):
+        """mj_forward after reset (fills kinematic observables)."""
+        return forward.forward(
+            self.model, qpos, qvel, jnp.zeros(self.nu, self.dtype),
+            self.ctx, self.iterations,
+        )
+
+    # -- common reset -----------------------------------------------------
+    def reset(self, key):
+        key, sub = jax.random.split(key)
+        qpos, qvel = self._reset_noise(sub)
+        fwd = self._forward_only(qpos, qvel)
+        state = EnvState(
+            qpos=qpos, qvel=qvel, t=jnp.zeros((), jnp.int32), key=key,
+            x_before=self._x_metric(qpos, fwd),
+        )
+        extras = StepExtras(
+            fwd=fwd, cfrc_ext=self._reset_cfrc(fwd), ctrl=jnp.zeros(self.nu, self.dtype)
+        )
+        return state, self._obs(qpos, qvel, extras)
+
+    def _reset_cfrc(self, fwd):
+        if not self.needs_cfrc:
+            return None
+        return forward.rne_post_constraint(self.model, fwd.com, fwd.vel, fwd)
+
+    def _x_metric(self, qpos, fwd):
+        return qpos[0]
+
+    # -- common step ------------------------------------------------------
+    def step(self, state: EnvState, action):
+        ctrl = jnp.clip(
+            action.astype(self.dtype),
+            jnp.asarray(self.model.actuator_ctrlrange[:, 0], self.dtype),
+            jnp.asarray(self.model.actuator_ctrlrange[:, 1], self.dtype),
+        )
+        qpos, qvel, extras = self._substeps(state.qpos, state.qvel, ctrl)
+        x_after = self._x_metric(qpos, extras.fwd)
+        x_velocity = (x_after - state.x_before) / self.dt
+        reward, terminated = self._reward_done(qpos, qvel, ctrl, x_velocity, extras)
+        t = state.t + 1
+        truncated = t >= self.max_episode_steps
+        obs = self._obs(qpos, qvel, extras)
+        new_state = EnvState(qpos=qpos, qvel=qvel, t=t, key=state.key, x_before=x_after)
+        return new_state, obs, reward, terminated, truncated
+
+
+class HalfCheetah(MujocoEnv):
+    """half_cheetah_v5.h: reward = x_vel - 0.1*sum(ctrl^2); never terminates."""
+
+    xml = "half_cheetah.xml"
+    frame_skip = 5
+    obs_dim, act_dim = 17, 6
+
+    def _reset_noise(self, key):
+        k1, k2 = jax.random.split(key)
+        qpos = jnp.asarray(self.model.qpos0, self.dtype) + jax.random.uniform(
+            k1, (self.nq,), self.dtype, -0.1, 0.1
+        )
+        qvel = 0.1 * jax.random.normal(k2, (self.nv,), self.dtype)
+        return qpos, qvel
+
+    def _obs(self, qpos, qvel, extras):
+        return jnp.concatenate([qpos[1:], qvel])
+
+    def _reward_done(self, qpos, qvel, ctrl, x_velocity, extras):
+        ctrl_cost = 0.1 * jnp.sum(ctrl * ctrl)
+        return x_velocity - ctrl_cost, jnp.zeros((), bool)
+
+
+class Hopper(MujocoEnv):
+    """hopper_v5.h: reward = x_vel + healthy - 1e-3*sum(ctrl^2); unhealthy ends."""
+
+    xml = "hopper.xml"
+    frame_skip = 4
+    obs_dim, act_dim = 11, 3
+
+    def _reset_noise(self, key):
+        k1, k2 = jax.random.split(key)
+        qpos = jnp.asarray(self.model.qpos0, self.dtype) + jax.random.uniform(
+            k1, (self.nq,), self.dtype, -5e-3, 5e-3
+        )
+        qvel = jax.random.uniform(k2, (self.nv,), self.dtype, -5e-3, 5e-3)
+        return qpos, qvel
+
+    def _obs(self, qpos, qvel, extras):
+        return jnp.concatenate([qpos[1:], jnp.clip(qvel, -10.0, 10.0)])
+
+    def _healthy(self, qpos, qvel):
+        z, angle = qpos[1], qpos[2]
+        healthy = (z >= 0.7) & (jnp.abs(angle) <= 0.2)
+        healthy &= jnp.all(jnp.abs(qpos[2:]) <= 100.0)
+        healthy &= jnp.all(jnp.abs(qvel) <= 100.0)
+        return healthy
+
+    def _reward_done(self, qpos, qvel, ctrl, x_velocity, extras):
+        healthy = self._healthy(qpos, qvel)
+        reward = x_velocity + healthy.astype(x_velocity.dtype) - 1e-3 * jnp.sum(ctrl * ctrl)
+        return reward, ~healthy
+
+
+class Ant(MujocoEnv):
+    """ant_v5.h: obs 105 (qpos[2:], qvel, clip(cfrc_ext[1:], +-1));
+    reward = x_vel + healthy - 0.5*ctrl^2 - 5e-4*sum(clip(cfrc)^2)."""
+
+    xml = "ant.xml"
+    frame_skip = 5
+    obs_dim, act_dim = 105, 8
+    needs_cfrc = True
+
+    def _reset_noise(self, key):
+        k1, k2 = jax.random.split(key)
+        qpos = jnp.asarray(self.model.qpos0, self.dtype) + jax.random.uniform(
+            k1, (self.nq,), self.dtype, -0.1, 0.1
+        )
+        qvel = 0.1 * jax.random.normal(k2, (self.nv,), self.dtype)
+        return qpos, qvel
+
+    def _x_metric(self, qpos, fwd):
+        return fwd.kin.xpos[1][0]  # torso body x (stale read, gymnasium parity)
+
+    def _obs(self, qpos, qvel, extras):
+        cfrc = jnp.clip(extras.cfrc_ext[1:], -1.0, 1.0).reshape(-1)
+        return jnp.concatenate([qpos[2:], qvel, cfrc])
+
+    def _healthy(self, qpos, qvel):
+        z = qpos[2]
+        finite = jnp.all(jnp.isfinite(qpos)) & jnp.all(jnp.isfinite(qvel))
+        return finite & (z >= 0.2) & (z <= 1.0)
+
+    def _reward_done(self, qpos, qvel, ctrl, x_velocity, extras):
+        healthy = self._healthy(qpos, qvel)
+        ctrl_cost = 0.5 * jnp.sum(ctrl * ctrl)
+        cfrc = jnp.clip(extras.cfrc_ext, -1.0, 1.0)
+        contact_cost = 5e-4 * jnp.sum(cfrc * cfrc)
+        reward = x_velocity + healthy.astype(x_velocity.dtype) - ctrl_cost - contact_cost
+        return reward, ~healthy
+
+
+class Humanoid(MujocoEnv):
+    """humanoid_v4.h: obs 376 (qpos[2:], qvel, cinert, cvel, qfrc_actuator,
+    cfrc_ext); reward = 1.25*xv + 5*healthy - 0.1*sum(ctrl^2); z outside
+    (1.0, 2.0) terminates. x-velocity is of the center of mass."""
+
+    xml = "humanoid.xml"
+    frame_skip = 5
+    obs_dim, act_dim = 376, 17
+    action_low, action_high = -0.4, 0.4
+    needs_cfrc = True
+
+    def _reset_noise(self, key):
+        k1, k2 = jax.random.split(key)
+        qpos = jnp.asarray(self.model.qpos0, self.dtype) + jax.random.uniform(
+            k1, (self.nq,), self.dtype, -1e-2, 1e-2
+        )
+        qvel = jax.random.uniform(k2, (self.nv,), self.dtype, -1e-2, 1e-2)
+        return qpos, qvel
+
+    def _x_metric(self, qpos, fwd):
+        # mass center of the robot (gymnasium mass_center): stale xipos read
+        mass = jnp.asarray(self.model.body_mass, self.dtype)
+        return jnp.sum(mass[:, None] * fwd.kin.xipos, axis=0)[0] / jnp.sum(mass)
+
+    def _cinert_packed(self, fwd):
+        ci = fwd.com.cinert  # [nbody, 6, 6]
+        tl = ci[:, :3, :3]
+        inert = jnp.stack(
+            [tl[:, 0, 0], tl[:, 1, 1], tl[:, 2, 2], tl[:, 0, 1], tl[:, 0, 2], tl[:, 1, 2]], -1
+        )
+        mc = jnp.stack([ci[:, 1, 5], ci[:, 2, 3], ci[:, 0, 4]], -1)  # m*c from skew
+        mass = ci[:, 3, 3:4]
+        return jnp.concatenate([inert, mc, mass], -1)  # [nbody, 10]
+
+    def _obs(self, qpos, qvel, extras):
+        fwd = extras.fwd
+        qfrc_actuator = smooth.actuator_forces(self.model, extras.ctrl)
+        return jnp.concatenate([
+            qpos[2:],
+            qvel,
+            self._cinert_packed(fwd).reshape(-1),
+            fwd.vel.cvel.reshape(-1),
+            qfrc_actuator,
+            extras.cfrc_ext.reshape(-1),
+        ])
+
+    def _healthy(self, qpos):
+        z = qpos[2]
+        return (z > 1.0) & (z < 2.0)
+
+    def _reward_done(self, qpos, qvel, ctrl, x_velocity, extras):
+        healthy = self._healthy(qpos)
+        # healthy_reward is unconditional when terminate_when_unhealthy
+        # (humanoid_v4.h:102: `terminate_when_unhealthy_ or isHealthy()`)
+        reward = 1.25 * x_velocity + 5.0 - 0.1 * jnp.sum(ctrl * ctrl)
+        return reward, ~healthy
+
+
+_REGISTRY = {
+    "HalfCheetah-v5": HalfCheetah,
+    "Hopper-v5": Hopper,
+    "Ant-v5": Ant,
+    "Humanoid-v4": Humanoid,
+}
+
+
+def make_env(env_id: str, dtype=jnp.float32, **kw) -> MujocoEnv:
+    return _REGISTRY[env_id](dtype=dtype, **kw)

@@ -1,0 +1,145 @@
+"""Vectorized env: lockstep vmap stepping, next-step autoreset, wrappers.
+
+Functional re-design of the reference's vector-env + wrapper stack:
+  - SeqVectorEnv/ParVectorEnv (gym.h:75-164, 276-366): N lockstep env instances
+    under vmap instead of serial loops / thread pools; action clipping to the
+    action space (gym.h:133-139); next-step autoreset — the step after
+    termination|truncation returns the reset obs with reward 0 and flags false
+    (gym.h:141-150).
+  - RecordEpisodeStatistics (wrappers/common.h:48-65): per-env return/length,
+    emitted as masked arrays in `infos` on episode end, accumulated on RAW
+    rewards (the wrapper sits innermost in the reference chain).
+  - NormalizeObservation + clip (stateful_observation.h; applied per env with
+    independent statistics, updated also on autoreset observations).
+  - NormalizeReward + clip (stateful_reward.h; the discounted accumulator is
+    NOT reset on autoreset, matching the reference where reset() skips it).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ppo_tpu.envs.mujoco_envs import EnvState, MujocoEnv
+from ppo_tpu.ops.running_stats import RewardNormState, RunningMeanStd
+
+
+@struct.dataclass
+class VectorState:
+    env: EnvState                       # batched [N, ...]
+    autoreset: jax.Array                # [N] bool
+    ep_return: jax.Array                # [N]
+    ep_length: jax.Array                # [N] int32
+    obs_rms: Any                        # RunningMeanStd [N, obs] or None
+    rew_norm: Any                       # RewardNormState [N] or None
+
+
+class VectorEnv:
+    def __init__(
+        self,
+        env: MujocoEnv,
+        num_envs: int,
+        clip_actions: bool = True,
+        normalize_obs: bool = False,
+        clip_obs: float = 10.0,
+        normalize_reward: bool = False,
+        gamma: float = 0.99,
+        clip_reward: float = 10.0,
+    ):
+        self.env = env
+        self.num_envs = num_envs
+        self.clip_actions = clip_actions
+        self.normalize_obs = normalize_obs
+        self.clip_obs = clip_obs
+        self.normalize_reward = normalize_reward
+        self.gamma = gamma
+        self.clip_reward = clip_reward
+        self.obs_dim = env.obs_dim
+        self.act_dim = env.act_dim
+        self.dtype = env.dtype
+
+    def reset(self, key: jax.Array):
+        keys = jax.random.split(key, self.num_envs)
+        env_state, obs = jax.vmap(self.env.reset)(keys)
+        obs_rms = None
+        if self.normalize_obs:
+            obs_rms = RunningMeanStd.create((self.num_envs, self.obs_dim), dtype=self.dtype)
+            obs_rms = obs_rms.update(obs)
+            obs = jnp.clip(obs_rms.normalize(obs), -self.clip_obs, self.clip_obs)
+        rew_norm = (
+            RewardNormState.create(self.num_envs, self.gamma, dtype=self.dtype)
+            if self.normalize_reward
+            else None
+        )
+        state = VectorState(
+            env=env_state,
+            autoreset=jnp.zeros(self.num_envs, bool),
+            ep_return=jnp.zeros(self.num_envs, self.dtype),
+            ep_length=jnp.zeros(self.num_envs, jnp.int32),
+            obs_rms=obs_rms,
+            rew_norm=rew_norm,
+        )
+        return state, obs
+
+    def step(self, state: VectorState, actions: jax.Array):
+        if self.clip_actions:
+            actions = jnp.clip(actions, self.env.action_low, self.env.action_high)
+
+        # stepped branch
+        new_env, obs_s, rew_s, term_s, trunc_s = jax.vmap(self.env.step)(state.env, actions)
+        # reset branch (autoreset rows): fresh keys derived per env
+        reset_keys = jax.vmap(lambda k: jax.random.split(k)[1])(state.env.key)
+        reset_env, obs_r = jax.vmap(self.env.reset)(reset_keys)
+
+        ar = state.autoreset
+        arf = ar.astype(self.dtype)
+
+        def sel(a, b):  # a where autoreset else b
+            m = ar.reshape((self.num_envs,) + (1,) * (a.ndim - 1))
+            return jnp.where(m, a, b)
+
+        env_state = jax.tree.map(sel, reset_env, new_env)
+        raw_obs = sel(obs_r, obs_s)
+        raw_rew = jnp.where(ar, 0.0, rew_s).astype(self.dtype)
+        term = jnp.where(ar, False, term_s)
+        trunc = jnp.where(ar, False, trunc_s)
+        done = term | trunc
+
+        # episode statistics on raw rewards; autoreset rows start fresh
+        ep_return = jnp.where(ar, 0.0, state.ep_return) + raw_rew
+        ep_length = jnp.where(ar, 0, state.ep_length) + jnp.where(ar, 0, 1)
+        infos = {
+            "episode_return": ep_return,
+            "episode_length": ep_length,
+            "done": done,
+        }
+        # zero the accumulators after emission
+        ep_return_next = jnp.where(done, 0.0, ep_return).astype(self.dtype)
+        ep_length_next = jnp.where(done, 0, ep_length)
+
+        obs = raw_obs
+        obs_rms = state.obs_rms
+        if self.normalize_obs:
+            obs_rms = obs_rms.update(raw_obs)  # updated on every obs incl. resets
+            obs = jnp.clip(obs_rms.normalize(raw_obs), -self.clip_obs, self.clip_obs)
+
+        rew = raw_rew
+        rew_norm = state.rew_norm
+        if self.normalize_reward:
+            # the reference skips the normalizer entirely on autoreset rows
+            stepped_norm, rew_n = rew_norm.step(raw_rew, term.astype(self.dtype))
+            rew_norm = jax.tree.map(lambda a, b: jnp.where(ar.reshape(ar.shape + (1,) * (a.ndim - 1)), a, b), rew_norm, stepped_norm)
+            rew = jnp.where(ar, 0.0, jnp.clip(rew_n, -self.clip_reward, self.clip_reward))
+
+        next_state = VectorState(
+            env=env_state,
+            autoreset=done,
+            ep_return=ep_return_next,
+            ep_length=ep_length_next,
+            obs_rms=obs_rms,
+            rew_norm=rew_norm,
+        )
+        return next_state, obs, rew, term, trunc, infos

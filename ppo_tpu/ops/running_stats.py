@@ -45,6 +45,18 @@ class RunningMeanStd:
         new_var = m2 / tot
         return RunningMeanStd(new_mean, new_var, self.count + 1.0)
 
+    def update_masked(self, x: jax.Array, update_mask: jax.Array) -> "RunningMeanStd":
+        """update(), but rows where update_mask is False keep their old stats
+        (used for per-env wrapper state under vectorized autoreset)."""
+        new = self.update(x)
+        m = update_mask
+        mexp = m[..., None] if self.mean.ndim > m.ndim else m
+        return RunningMeanStd(
+            mean=jnp.where(mexp, new.mean, self.mean),
+            var=jnp.where(mexp, new.var, self.var),
+            count=jnp.where(m, new.count, self.count),
+        )
+
     def normalize(self, x: jax.Array, epsilon: float = 1e-4) -> jax.Array:
         return (x - self.mean) / jnp.sqrt(self.var + epsilon)
 

@@ -2,16 +2,18 @@
 
 Narrowphase colliders for the plane/sphere/capsule subset (all four locomotion
 models). The candidate pair list (contype/conaffinity + parent-weld filtering)
-is computed at model-build time; at trace time every candidate is evaluated and
-masked by `dist < includemargin`, producing fixed-size arrays friendly to
-jit/vmap. Contact frame convention matches MuJoCo (normal points geom1->geom2,
-tangents from mju_makeFrame) so contacts diff directly in tests.
+is computed at model-build time; at trace time all candidates are evaluated in
+a handful of *vectorized* batches (one per collider type), producing fixed-size
+arrays friendly to jit/vmap with a compact XLA graph. Contact frame convention
+matches MuJoCo (normal points geom1->geom2; mju_makeFrame tangents, and the
+plane-capsule axis-projected frame) so contacts diff directly in tests.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -19,24 +21,82 @@ from ppo_tpu.physics.model import Model
 from ppo_tpu.physics.types import CAPSULE, PLANE, SPHERE
 
 
-class Contacts(NamedTuple):
-    """Fixed-size contact arrays; rows beyond `active` are masked out."""
+class ContactSlots(NamedTuple):
+    """Static (numpy) slot table: one row per potential contact point."""
 
-    dist: jnp.ndarray      # [ncon]
-    pos: jnp.ndarray       # [ncon, 3]
-    frame: jnp.ndarray     # [ncon, 3, 3] rows: normal, tangent1, tangent2
-    active: jnp.ndarray    # [ncon] bool
-    # static per-slot metadata (numpy, identical across batch)
     geom1: np.ndarray
     geom2: np.ndarray
     body1: np.ndarray
     body2: np.ndarray
+    point: np.ndarray        # capsule end selector for plane-capsule (+-1), else 0
+    kind: np.ndarray         # collider kind id per slot
     includemargin: np.ndarray
     margin: np.ndarray
     condim: np.ndarray
-    friction: np.ndarray   # [ncon, 2] tangential frictions
-    solref: np.ndarray     # [ncon, 2]
-    solimp: np.ndarray     # [ncon, 5]
+    friction: np.ndarray     # [S, 2] tangential frictions (sliding, sliding)
+    solref: np.ndarray       # [S, 2]
+    solimp: np.ndarray       # [S, 5]
+    size1: np.ndarray        # [S, 3]
+    size2: np.ndarray        # [S, 3]
+
+
+class Contacts(NamedTuple):
+    """Fixed-size contact arrays; rows beyond `active` are masked out."""
+
+    dist: jnp.ndarray      # [S]
+    pos: jnp.ndarray       # [S, 3]
+    frame: jnp.ndarray     # [S, 3, 3] rows: normal, tangent1, tangent2
+    active: jnp.ndarray    # [S] bool
+    slots: ContactSlots
+
+    # convenience passthroughs used elsewhere
+    @property
+    def geom1(self):
+        return self.slots.geom1
+
+    @property
+    def geom2(self):
+        return self.slots.geom2
+
+    @property
+    def body1(self):
+        return self.slots.body1
+
+    @property
+    def body2(self):
+        return self.slots.body2
+
+    @property
+    def friction(self):
+        return self.slots.friction
+
+    @property
+    def condim(self):
+        return self.slots.condim
+
+    @property
+    def margin(self):
+        return self.slots.margin
+
+    @property
+    def solref(self):
+        return self.slots.solref
+
+    @property
+    def solimp(self):
+        return self.slots.solimp
+
+
+# collider kinds
+K_PLANE_SPHERE, K_PLANE_CAPSULE, K_SPHERE_SPHERE, K_SPHERE_CAPSULE, K_CAPSULE_CAPSULE = range(5)
+
+_KIND = {
+    (PLANE, SPHERE): K_PLANE_SPHERE,
+    (PLANE, CAPSULE): K_PLANE_CAPSULE,
+    (SPHERE, SPHERE): K_SPHERE_SPHERE,
+    (SPHERE, CAPSULE): K_SPHERE_CAPSULE,
+    (CAPSULE, CAPSULE): K_CAPSULE_CAPSULE,
+}
 
 
 def _mix_params(m: Model, g1: int, g2: int):
@@ -54,156 +114,148 @@ def _mix_params(m: Model, g1: int, g2: int):
     return condim, friction, solref, solimp, margin, gap
 
 
-def contact_slots(m: Model):
-    """Static contact slot table: one row per potential contact point."""
-    slots = []
+def contact_slots(m: Model) -> ContactSlots:
+    rows = []
     for (t1, t2), pairs in sorted(m.collision_pairs.items()):
+        kind = _KIND[(t1, t2)]
         for g1, g2 in pairs:
-            n_points = 2 if (t1 == PLANE and t2 == CAPSULE) else 1
             condim, friction, solref, solimp, margin, gap = _mix_params(m, g1, g2)
-            for k in range(n_points):
-                slots.append(
-                    dict(
-                        g1=g1, g2=g2, t1=t1, t2=t2, point=k,
-                        b1=m.geom_bodyid[g1], b2=m.geom_bodyid[g2],
-                        condim=condim, friction=friction, solref=solref,
-                        solimp=solimp, margin=margin, includemargin=margin - gap,
-                    )
+            points = (1.0, -1.0) if kind == K_PLANE_CAPSULE else (0.0,)
+            for pt in points:
+                rows.append(
+                    (g1, g2, m.geom_bodyid[g1], m.geom_bodyid[g2], pt, kind,
+                     margin - gap, margin, condim, (friction[0], friction[0]),
+                     tuple(solref), tuple(solimp), tuple(m.geom_size[g1]), tuple(m.geom_size[g2]))
                 )
-    return slots
+    if not rows:
+        z = np.zeros(0)
+        return ContactSlots(*(z.astype(int),) * 4, z, z.astype(int), z, z, z.astype(int),
+                            np.zeros((0, 2)), np.zeros((0, 2)), np.zeros((0, 5)),
+                            np.zeros((0, 3)), np.zeros((0, 3)))
+    cols = list(zip(*rows))
+    return ContactSlots(
+        geom1=np.array(cols[0], int), geom2=np.array(cols[1], int),
+        body1=np.array(cols[2], int), body2=np.array(cols[3], int),
+        point=np.array(cols[4]), kind=np.array(cols[5], int),
+        includemargin=np.array(cols[6]), margin=np.array(cols[7]),
+        condim=np.array(cols[8], int), friction=np.array(cols[9]),
+        solref=np.array(cols[10]), solimp=np.array(cols[11]),
+        size1=np.array(cols[12]), size2=np.array(cols[13]),
+    )
 
 
 def make_frame(n):
-    """mju_makeFrame tangents for unit normal n (verified empirically):
-    t2 = normalize((n_y, -n_x, 0)), t1 = cross(t2, n); for n ~ +-z the
-    fallback is t1 = (0, 1, 0), t2 = cross(n, t1)."""
+    """mju_makeFrame tangents for unit normals n [..., 3] (verified
+    empirically): t2 = normalize((n_y, -n_x, 0)), t1 = cross(t2, n); for
+    n ~ +-z the fallback is t1 = (0, 1, 0), t2 = cross(n, t1)."""
     dtype = n.dtype
-    degenerate = (jnp.abs(n[0]) < 1e-10) & (jnp.abs(n[1]) < 1e-10)
-    zt = jnp.stack([n[1], -n[0], jnp.zeros((), dtype)])
-    zt = zt / jnp.maximum(jnp.linalg.norm(zt), 1e-30)
+    degenerate = (jnp.abs(n[..., 0]) < 1e-10) & (jnp.abs(n[..., 1]) < 1e-10)
+    zt = jnp.stack([n[..., 1], -n[..., 0], jnp.zeros_like(n[..., 0])], -1)
+    zt = zt / jnp.maximum(jnp.linalg.norm(zt, axis=-1, keepdims=True), 1e-30)
     t1_nd = jnp.cross(zt, n)
-    t1_d = jnp.asarray([0.0, 1.0, 0.0], dtype)
-    t1 = jnp.where(degenerate, t1_d, t1_nd)
-    t2 = jnp.where(degenerate, jnp.cross(n, t1_d), zt)
-    return jnp.stack([n, t1, t2])
+    t1_d = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], dtype), n.shape)
+    deg = degenerate[..., None]
+    t1 = jnp.where(deg, t1_d, t1_nd)
+    t2 = jnp.where(deg, jnp.cross(n, t1_d), zt)
+    return jnp.stack([n, t1, t2], axis=-2)
 
 
-def plane_capsule_frame(n, axis):
-    """mjc_PlaneCapsule frame: t1 = capsule axis projected on the plane
-    (zero-projection falls back to (1,0,0) like mju_normalize3), t2 = n x t1."""
+def _plane_capsule_frame(n, axis):
+    """mjc_PlaneCapsule frame: t1 = capsule axis projected onto the plane
+    (zero projection falls back to (1,0,0) like mju_normalize3), t2 = n x t1."""
     dtype = n.dtype
-    vec = axis - n * jnp.dot(n, axis)
-    norm = jnp.linalg.norm(vec)
-    t1 = jnp.where(norm < 1e-14, jnp.asarray([1.0, 0.0, 0.0], dtype), vec / jnp.maximum(norm, 1e-30))
-    return jnp.stack([n, t1, jnp.cross(n, t1)])
+    vec = axis - n * jnp.sum(n * axis, -1, keepdims=True)
+    norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
+    fallback = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], dtype), n.shape)
+    t1 = jnp.where(norm < 1e-14, fallback, vec / jnp.maximum(norm, 1e-30))
+    return jnp.stack([n, t1, jnp.cross(n, t1)], axis=-2)
 
 
 def _sphere_sphere(p1, r1, p2, r2):
-    """Returns (dist, pos, normal). Normal points from sphere1 to sphere2."""
+    """Vectorized: (dist, pos, normal geom1->geom2) for center/radius arrays."""
     d = p2 - p1
-    L = jnp.linalg.norm(d)
-    n = jnp.where(L < 1e-12, jnp.asarray([0.0, 0.0, 1.0], d.dtype), d / jnp.maximum(L, 1e-12))
-    dist = L - (r1 + r2)
-    pos = p1 + n * (r1 + 0.5 * dist)
+    L = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], d.dtype), d.shape)
+    n = jnp.where(L < 1e-12, up, d / jnp.maximum(L, 1e-12))
+    dist = L[..., 0] - (r1 + r2)
+    pos = p1 + n * (r1 + 0.5 * dist)[..., None]
     return dist, pos, n
 
 
-def _seg_seg_closest(p1, d1, hl1, p2, d2, hl2):
-    """Closest points between segments p +- hl*d (unit dirs). Returns (c1, c2)."""
-    r = p1 - p2
-    a = jnp.dot(d1, d1)
-    e = jnp.dot(d2, d2)
-    b = jnp.dot(d1, d2)
-    c = jnp.dot(d1, r)
-    f = jnp.dot(d2, r)
-    denom = a * e - b * b
-    # parallel-safe: fall back to s=0 when denom ~ 0
-    s = jnp.where(jnp.abs(denom) > 1e-12, (b * f - c * e) / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0), 0.0)
-    s = jnp.clip(s, -hl1, hl1)
-    t = (b * s + f) / e
-    t = jnp.clip(t, -hl2, hl2)
-    s = jnp.clip((b * t - c) / a, -hl1, hl1)
-    return p1 + s * d1, p2 + t * d2
-
-
-def narrowphase(m: Model, slot, geom_xpos, geom_xmat):
-    """dist/pos/normal for one contact slot. Normal points geom1 -> geom2."""
-    g1, g2, t1, t2 = slot["g1"], slot["g2"], slot["t1"], slot["t2"]
-    p1, R1 = geom_xpos[g1], geom_xmat[g1]
-    p2, R2 = geom_xpos[g2], geom_xmat[g2]
-    dtype = p1.dtype
-    size1 = np.asarray(m.geom_size[g1])
-    size2 = np.asarray(m.geom_size[g2])
-
-    if t1 == PLANE:
-        n = R1[:, 2]
-        if t2 == SPHERE:
-            center, r = p2, size2[0]
-        else:  # CAPSULE endpoint sphere (slot["point"] selects the end)
-            axis = R2[:, 2]
-            sign = 1.0 if slot["point"] == 0 else -1.0
-            center = p2 + sign * size2[1] * axis
-            r = size2[0]
-        cdist = jnp.dot(n, center - p1)
-        dist = cdist - r
-        pos = center - n * (r + 0.5 * dist)
-        return dist, pos, n
-
-    if t1 == SPHERE and t2 == SPHERE:
-        return _sphere_sphere(p1, size1[0], p2, size2[0])
-
-    if t1 == SPHERE and t2 == CAPSULE:
-        axis = R2[:, 2]
-        t = jnp.clip(jnp.dot(p1 - p2, axis), -size2[1], size2[1])
-        return _sphere_sphere(p1, size1[0], p2 + t * axis, size2[0])
-
-    if t1 == CAPSULE and t2 == CAPSULE:
-        c1, c2 = _seg_seg_closest(p1, R1[:, 2], size1[1], p2, R2[:, 2], size2[1])
-        return _sphere_sphere(c1, size1[0], c2, size2[0])
-
-    raise NotImplementedError(f"collider {t1}-{t2}")
-
-
-def collide(m: Model, geom_xpos, geom_xmat, slots=None) -> Contacts:
-    """Evaluate all contact slots; mask by includemargin."""
+def collide(m: Model, geom_xpos, geom_xmat, slots: ContactSlots | None = None) -> Contacts:
+    """Evaluate all contact slots vectorized per collider kind."""
     if slots is None:
         slots = contact_slots(m)
     dtype = geom_xpos.dtype
-    if not slots:
-        z3 = jnp.zeros((0, 3), dtype)
+    S = len(slots.geom1)
+    if S == 0:
         return Contacts(
-            dist=jnp.zeros((0,), dtype), pos=z3, frame=jnp.zeros((0, 3, 3), dtype),
-            active=jnp.zeros((0,), bool),
-            geom1=np.zeros(0, int), geom2=np.zeros(0, int),
-            body1=np.zeros(0, int), body2=np.zeros(0, int),
-            includemargin=np.zeros(0), margin=np.zeros(0), condim=np.zeros(0, int),
-            friction=np.zeros((0, 2)), solref=np.zeros((0, 2)), solimp=np.zeros((0, 5)),
+            dist=jnp.zeros((0,), dtype), pos=jnp.zeros((0, 3), dtype),
+            frame=jnp.zeros((0, 3, 3), dtype), active=jnp.zeros((0,), bool),
+            slots=slots,
         )
-    dists, poss, frames = [], [], []
-    for slot in slots:
-        dist, pos, n = narrowphase(m, slot, geom_xpos, geom_xmat)
-        dists.append(dist)
-        poss.append(pos)
-        if slot["t1"] == PLANE and slot["t2"] == CAPSULE:
-            frames.append(plane_capsule_frame(n, geom_xmat[slot["g2"]][:, 2]))
-        else:
-            frames.append(make_frame(n))
-    dist = jnp.stack(dists)
-    includemargin = np.array([s["includemargin"] for s in slots])
-    return Contacts(
-        dist=dist,
-        pos=jnp.stack(poss),
-        frame=jnp.stack(frames),
-        active=dist < jnp.asarray(includemargin, dtype),
-        geom1=np.array([s["g1"] for s in slots], int),
-        geom2=np.array([s["g2"] for s in slots], int),
-        body1=np.array([s["b1"] for s in slots], int),
-        body2=np.array([s["b2"] for s in slots], int),
-        includemargin=includemargin,
-        margin=np.array([s["margin"] for s in slots]),
-        condim=np.array([s["condim"] for s in slots], int),
-        # both tangential directions use the sliding friction coefficient
-        friction=np.array([[s["friction"][0], s["friction"][0]] for s in slots]),
-        solref=np.array([s["solref"] for s in slots]),
-        solimp=np.array([s["solimp"] for s in slots]),
+    p1 = geom_xpos[slots.geom1]          # [S, 3]
+    p2 = geom_xpos[slots.geom2]
+    R1 = geom_xmat[slots.geom1]          # [S, 3, 3]
+    R2 = geom_xmat[slots.geom2]
+    r1 = jnp.asarray(slots.size1[:, 0], dtype)
+    r2 = jnp.asarray(slots.size2[:, 0], dtype)
+    hl1 = jnp.asarray(slots.size1[:, 1], dtype)
+    hl2 = jnp.asarray(slots.size2[:, 1], dtype)
+    axis1 = R1[:, :, 2]
+    axis2 = R2[:, :, 2]
+    kind = slots.kind
+    point = jnp.asarray(slots.point, dtype)
+
+    # --- reduce every collider to a sphere-sphere test with per-kind centers.
+    is_plane = (kind == K_PLANE_SPHERE) | (kind == K_PLANE_CAPSULE)
+
+    # geom2 center: capsule-end for plane-capsule, clamped segment point for
+    # (sphere|capsule)-capsule, plain center otherwise
+    c2 = p2
+    c2 = jnp.where(
+        (kind == K_PLANE_CAPSULE)[:, None], p2 + (point * hl2)[:, None] * axis2, c2
     )
+    # sphere-capsule: closest point on capsule 2's segment to sphere 1 center
+    t_sc = jnp.clip(jnp.sum((p1 - p2) * axis2, -1), -hl2, hl2)
+    c2 = jnp.where((kind == K_SPHERE_CAPSULE)[:, None], p2 + t_sc[:, None] * axis2, c2)
+
+    # capsule-capsule: segment-segment closest points (well-defined everywhere,
+    # harmless for other kinds)
+    r = p1 - p2
+    a = jnp.sum(axis1 * axis1, -1)
+    e = jnp.sum(axis2 * axis2, -1)
+    bb = jnp.sum(axis1 * axis2, -1)
+    c = jnp.sum(axis1 * r, -1)
+    f = jnp.sum(axis2 * r, -1)
+    denom = a * e - bb * bb
+    s_par = jnp.where(jnp.abs(denom) > 1e-12, (bb * f - c * e) / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0), 0.0)
+    s_par = jnp.clip(s_par, -hl1, hl1)
+    t_par = jnp.clip((bb * s_par + f) / jnp.maximum(e, 1e-12), -hl2, hl2)
+    s_par = jnp.clip((bb * t_par - c) / jnp.maximum(a, 1e-12), -hl1, hl1)
+    cc1 = p1 + s_par[:, None] * axis1
+    cc2 = p2 + t_par[:, None] * axis2
+    is_cc = kind == K_CAPSULE_CAPSULE
+    c1 = jnp.where(is_cc[:, None], cc1, p1)
+    c2 = jnp.where(is_cc[:, None], cc2, c2)
+
+    # sphere-sphere narrowphase on the reduced centers
+    dist_ss, pos_ss, n_ss = _sphere_sphere(c1, r1, c2, r2)
+
+    # plane narrowphase
+    n_pl = R1[:, :, 2]
+    cdist = jnp.sum(n_pl * (c2 - p1), -1)
+    dist_pl = cdist - r2
+    pos_pl = c2 - n_pl * (r2 + 0.5 * dist_pl)[:, None]
+
+    dist = jnp.where(is_plane, dist_pl, dist_ss)
+    pos = jnp.where(is_plane[:, None], pos_pl, pos_ss)
+    n = jnp.where(is_plane[:, None], n_pl, n_ss)
+
+    frame = jnp.where(
+        (kind == K_PLANE_CAPSULE)[:, None, None],
+        _plane_capsule_frame(n, axis2),
+        make_frame(n),
+    )
+    active = dist < jnp.asarray(slots.includemargin, dtype)
+    return Contacts(dist=dist, pos=pos, frame=frame, active=active, slots=slots)

@@ -13,8 +13,10 @@ validated empirically against mjData internals (efc_KBIP / efc_R / efc_aref):
     A_approx(contact, pyramid) = invw * 2 mu_i^2 (1 + mu_i^2)
 
 Pyramidal rows per condim-3 contact: [n + mu1 t1, n - mu1 t1, n + mu2 t2,
-n - mu2 t2] (row order matches mjData). All rows are statically allocated per
-model (fixed shapes for jit/vmap) and masked by activity.
+n - mu2 t2] (row order matches mjData); condim-1 contacts use the normal row
+only. The whole row set is statically shaped and fully vectorized: row layout is
+[L limit rows][S slots x 4 rows], with structurally-absent rows masked off by a
+static row mask, so the XLA graph stays compact regardless of slot count.
 """
 
 from __future__ import annotations
@@ -25,37 +27,53 @@ import jax.numpy as jnp
 import numpy as np
 
 from ppo_tpu.physics import smooth
-from ppo_tpu.physics.collision import Contacts
+from ppo_tpu.physics.collision import ContactSlots, Contacts
 from ppo_tpu.physics.model import Model
 
 MINIMP, MAXIMP = 0.0001, 0.9999
 
 
+class EfcMeta(NamedTuple):
+    """Static constraint-row metadata, built once per model."""
+
+    # limits [L]
+    lim_qadr: np.ndarray
+    lim_dadr: np.ndarray
+    lim_lo: np.ndarray
+    lim_hi: np.ndarray
+    lim_margin: np.ndarray
+    lim_K: np.ndarray
+    lim_B: np.ndarray
+    lim_solimp: np.ndarray      # [L, 5]
+    lim_onehot: np.ndarray      # [L, nv]
+    lim_invw: np.ndarray        # [L]
+    # contacts [S]
+    con_maskdiff: np.ndarray    # [S, nv]  (mask[b2] - mask[b1])
+    con_C: np.ndarray           # [S, 4, 3] pyramid row combinations over (n, t1, t2)
+    con_rowmask: np.ndarray     # [S, 4] structural row presence
+    con_approx: np.ndarray      # [S, 4] diag approximations
+    con_K: np.ndarray           # [S]
+    con_B: np.ndarray           # [S]
+    con_solimp: np.ndarray      # [S, 5]
+    con_margin: np.ndarray      # [S]
+    # combined layout
+    n_limit: int
+    n_slots: int
+    is_contact: np.ndarray      # [L + 4S]
+    slot_id: np.ndarray         # [L + 4S] (-1 for limits)
+
+
 class Efc(NamedTuple):
     J: jnp.ndarray        # [ne, nv]
-    R: jnp.ndarray        # [ne] diagonal regularizer (1/efc_D)
+    R: jnp.ndarray        # [ne]
     aref: jnp.ndarray     # [ne]
-    pos: jnp.ndarray      # [ne] constraint violation (efc_pos)
+    pos: jnp.ndarray      # [ne]
     active: jnp.ndarray   # [ne] bool
-    imp: jnp.ndarray      # [ne] impedance (debug / parity tests)
-    # static row metadata
-    is_contact: np.ndarray   # [ne] bool
-    slot_id: np.ndarray      # [ne] contact slot index (-1 for limits)
+    imp: jnp.ndarray      # [ne]
+    meta: EfcMeta
 
 
-def impedance(solimp, r):
-    """Constraint impedance d(r) from the 5-element solimp sigmoid."""
-    d0, dmax, width, mid, power = [jnp.asarray(s, jnp.result_type(r)) for s in solimp]
-    x = jnp.clip(jnp.abs(r) / jnp.where(width <= 0, 1.0, width), 0.0, 1.0)
-    a = 1.0 / mid ** (power - 1.0)
-    b = 1.0 / (1.0 - mid) ** (power - 1.0)
-    y = jnp.where(x < mid, a * x**power, 1.0 - b * (1.0 - x) ** power)
-    y = jnp.where(width <= 0, 1.0, y)
-    return jnp.clip(d0 + y * (dmax - d0), MINIMP, MAXIMP)
-
-
-def kb(solref, solimp):
-    """Stiffness/damping from solref: standard (positive) or direct (negative)."""
+def _kb(solref, solimp):
     timeconst, dampratio = solref
     dmax = solimp[1]
     if timeconst > 0 and dampratio > 0:
@@ -66,113 +84,149 @@ def kb(solref, solimp):
     return k, b
 
 
+def make_efc_meta(m: Model, slots: ContactSlots, mask: np.ndarray) -> EfcMeta:
+    # limits
+    lim = [j for j in range(m.njnt) if m.jnt_limited[j]]
+    L = len(lim)
+    lim_onehot = np.zeros((L, m.nv))
+    lim_K = np.zeros(L)
+    lim_B = np.zeros(L)
+    for i, j in enumerate(lim):
+        lim_onehot[i, m.jnt_dofadr[j]] = 1.0
+        lim_K[i], lim_B[i] = _kb(m.jnt_solref[j], m.jnt_solimp[j])
+    # contacts
+    S = len(slots.geom1)
+    con_maskdiff = np.zeros((S, m.nv))
+    con_C = np.zeros((S, 4, 3))
+    con_rowmask = np.zeros((S, 4))
+    con_approx = np.zeros((S, 4))
+    con_K = np.zeros(S)
+    con_B = np.zeros(S)
+    for s in range(S):
+        b1, b2 = slots.body1[s], slots.body2[s]
+        con_maskdiff[s] = mask[b2].astype(float) - mask[b1].astype(float)
+        mu = slots.friction[s]
+        invw = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
+        if slots.condim[s] == 1:
+            con_C[s, 0] = (1.0, 0.0, 0.0)
+            con_rowmask[s, 0] = 1.0
+            con_approx[s, 0] = invw
+        else:
+            con_C[s] = [(1, mu[0], 0), (1, -mu[0], 0), (1, 0, mu[1]), (1, 0, -mu[1])]
+            con_rowmask[s] = 1.0
+            for r in range(4):
+                mui = mu[r // 2]
+                con_approx[s, r] = invw * 2 * mui * mui * (1 + mui * mui)
+        con_K[s], con_B[s] = _kb(slots.solref[s], slots.solimp[s])
+    is_contact = np.concatenate([np.zeros(L, bool), np.ones(4 * S, bool)])
+    slot_id = np.concatenate([np.full(L, -1, int), np.repeat(np.arange(S), 4)])
+    return EfcMeta(
+        lim_qadr=m.jnt_qposadr[lim], lim_dadr=m.jnt_dofadr[lim],
+        lim_lo=m.jnt_range[lim, 0] if L else np.zeros(0),
+        lim_hi=m.jnt_range[lim, 1] if L else np.zeros(0),
+        lim_margin=m.jnt_margin[lim] if L else np.zeros(0),
+        lim_K=lim_K, lim_B=lim_B,
+        lim_solimp=m.jnt_solimp[lim] if L else np.zeros((0, 5)),
+        lim_onehot=lim_onehot,
+        lim_invw=m.dof_invweight0[m.jnt_dofadr[lim]] if L else np.zeros(0),
+        con_maskdiff=con_maskdiff, con_C=con_C, con_rowmask=con_rowmask,
+        con_approx=con_approx, con_K=con_K, con_B=con_B,
+        con_solimp=np.asarray(slots.solimp), con_margin=np.asarray(slots.margin),
+        n_limit=L, n_slots=S, is_contact=is_contact, slot_id=slot_id,
+    )
+
+
+def impedance(solimp, r):
+    """Vectorized constraint impedance d(r); solimp [..., 5] (static), r [...]."""
+    dtype = jnp.result_type(r)
+    d0 = jnp.asarray(solimp[..., 0], dtype)
+    dmax = jnp.asarray(solimp[..., 1], dtype)
+    width = jnp.asarray(solimp[..., 2], dtype)
+    mid = jnp.asarray(solimp[..., 3], dtype)
+    power = jnp.asarray(solimp[..., 4], dtype)
+    x = jnp.clip(jnp.abs(r) / jnp.where(width <= 0, 1.0, width), 0.0, 1.0)
+    a = 1.0 / mid ** (power - 1.0)
+    b = 1.0 / (1.0 - mid) ** (power - 1.0)
+    y = jnp.where(x < mid, a * x**power, 1.0 - b * (1.0 - x) ** power)
+    y = jnp.where(width <= 0, 1.0, y)
+    return jnp.clip(d0 + y * (dmax - d0), MINIMP, MAXIMP)
+
+
 def make_efc(
     m: Model,
+    meta: EfcMeta,
     com: smooth.ComQuants,
-    mask: np.ndarray,
     qpos: jnp.ndarray,
     qvel: jnp.ndarray,
     contacts: Contacts,
 ) -> Efc:
     dtype = qvel.dtype
-    rows_J, rows_R, rows_aref, rows_pos, rows_active, rows_imp = [], [], [], [], [], []
-    meta_contact, meta_slot = [], []
+    L, S = meta.n_limit, meta.n_slots
+    parts_J, parts_R, parts_aref, parts_pos, parts_act, parts_imp = [], [], [], [], [], []
 
-    # --- joint limit rows (one statically-allocated row per limited joint)
-    for j in range(m.njnt):
-        if not m.jnt_limited[j]:
-            continue
-        qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
-        lo, hi = m.jnt_range[j]
-        dist_lo = qpos[qadr] - lo
-        dist_hi = hi - qpos[qadr]
+    if L:
+        q = qpos[meta.lim_qadr]
+        v = qvel[meta.lim_dadr]
+        dist_lo = q - jnp.asarray(meta.lim_lo, dtype)
+        dist_hi = jnp.asarray(meta.lim_hi, dtype) - q
         lower_closer = dist_lo < dist_hi
         pos = jnp.minimum(dist_lo, dist_hi)
         sign = jnp.where(lower_closer, 1.0, -1.0).astype(dtype)
-        Jrow = jnp.zeros(m.nv, dtype).at[dadr].set(sign)
-        margin = m.jnt_margin[j]
+        J = jnp.asarray(meta.lim_onehot, dtype) * sign[:, None]
+        margin = jnp.asarray(meta.lim_margin, dtype)
         r = pos - margin
-        imp = impedance(m.jnt_solimp[j], r)
-        k, b = kb(m.jnt_solref[j], m.jnt_solimp[j])
-        vel = sign * qvel[dadr]
-        aref = -b * vel - k * imp * r
-        R = (1.0 - imp) / imp * m.dof_invweight0[dadr]
+        imp = impedance(jnp.asarray(meta.lim_solimp), r)
+        aref = -jnp.asarray(meta.lim_B, dtype) * (sign * v) - jnp.asarray(meta.lim_K, dtype) * imp * r
+        R = (1.0 - imp) / imp * jnp.asarray(meta.lim_invw, dtype)
         active = pos < margin
-        rows_J.append(Jrow)
-        rows_R.append(R)
-        rows_aref.append(aref)
-        rows_pos.append(pos)
-        rows_active.append(active)
-        rows_imp.append(imp)
-        meta_contact.append(False)
-        meta_slot.append(-1)
+        parts_J.append(J)
+        parts_R.append(jnp.where(active, R, 1.0))
+        parts_aref.append(aref * active)
+        parts_pos.append(pos)
+        parts_act.append(active)
+        parts_imp.append(imp)
 
-    # --- contact rows
-    origins_per_dof = np.maximum(m.body_rootid[m.dof_bodyid], 0)
-    for s in range(len(contacts.geom1)):
-        b1, b2 = int(contacts.body1[s]), int(contacts.body2[s])
-        pos_c = contacts.pos[s]
-        frame = contacts.frame[s]           # rows: n, t1, t2
-        O = com.subtree_com[origins_per_dof]  # [nv, 3]
-        jacp = com.cdof[:, 3:] + jnp.cross(com.cdof[:, :3], pos_c[None, :] - O)
-        sel2 = jnp.asarray(mask[b2][:, None], dtype)
-        sel1 = jnp.asarray(mask[b1][:, None], dtype)
-        Jrel = (sel2 * jacp - sel1 * jacp).T    # [3? no: nv rows] -> (nv,3).T = [3, nv]
-        # project onto contact frame: [3, nv]
-        Jf = frame @ Jrel
+    if S:
+        origins = com.subtree_com[np.maximum(m.body_rootid[m.dof_bodyid], 0)]  # [nv,3]
+        # point jacobians for every slot: [S, nv, 3]
+        jacp = com.cdof[None, :, 3:] + jnp.cross(
+            com.cdof[None, :, :3], contacts.pos[:, None, :] - origins[None, :, :]
+        )
+        jacd = jnp.asarray(meta.con_maskdiff, dtype)[:, :, None] * jacp
+        Jf = jnp.einsum("skb,snb->skn", contacts.frame, jacd)       # [S, 3, nv]
+        Jrows = jnp.einsum("srk,skn->srn", jnp.asarray(meta.con_C, dtype), Jf)  # [S,4,nv]
+        vel = jnp.einsum("srn,n->sr", Jrows, qvel)
+        rm = jnp.asarray(meta.con_rowmask, dtype)
 
-        dist = contacts.dist[s]
-        margin = contacts.margin[s]
-        r = dist - margin
-        imp = impedance(contacts.solimp[s], r)
-        k, b = kb(contacts.solref[s], contacts.solimp[s])
-        invw = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
-        active = contacts.active[s]
-        condim = int(contacts.condim[s])
-        mu = contacts.friction[s]
+        r = contacts.dist - jnp.asarray(meta.con_margin, dtype)
+        imp = impedance(jnp.asarray(meta.con_solimp), r)
+        aref = (
+            -jnp.asarray(meta.con_B, dtype)[:, None] * vel
+            - (jnp.asarray(meta.con_K, dtype) * imp * r)[:, None]
+        )
+        R = ((1.0 - imp) / imp)[:, None] * jnp.asarray(meta.con_approx, dtype)
+        active = contacts.active[:, None] & (rm > 0)
+        actf = active.astype(dtype)
+        parts_J.append((Jrows * actf[:, :, None]).reshape(4 * S, m.nv))
+        parts_R.append(jnp.where(active, R, 1.0).reshape(4 * S))
+        parts_aref.append((aref * actf).reshape(4 * S))
+        parts_pos.append(jnp.broadcast_to(contacts.dist[:, None], (S, 4)).reshape(4 * S))
+        parts_act.append(active.reshape(4 * S))
+        parts_imp.append(jnp.broadcast_to(imp[:, None], (S, 4)).reshape(4 * S))
 
-        if condim == 1:
-            row_dirs = [Jf[0]]
-            approx = [invw]
-        else:
-            row_dirs = [
-                Jf[0] + mu[0] * Jf[1],
-                Jf[0] - mu[0] * Jf[1],
-                Jf[0] + mu[1] * Jf[2],
-                Jf[0] - mu[1] * Jf[2],
-            ]
-            approx = [invw * 2 * mu[i // 2] ** 2 * (1 + mu[i // 2] ** 2) for i in range(4)]
-        for Jrow, ap in zip(row_dirs, approx):
-            vel = Jrow @ qvel
-            aref = -b * vel - k * imp * r
-            R = (1.0 - imp) / imp * ap
-            rows_J.append(Jrow)
-            rows_R.append(R)
-            rows_aref.append(aref)
-            rows_pos.append(dist)
-            rows_active.append(active)
-            rows_imp.append(imp)
-            meta_contact.append(True)
-            meta_slot.append(s)
-
-    if not rows_J:
+    if not parts_J:
         return Efc(
             J=jnp.zeros((0, m.nv), dtype), R=jnp.zeros((0,), dtype),
             aref=jnp.zeros((0,), dtype), pos=jnp.zeros((0,), dtype),
-            active=jnp.zeros((0,), bool), imp=jnp.zeros((0,), dtype),
-            is_contact=np.zeros(0, bool), slot_id=np.zeros(0, int),
+            active=jnp.zeros((0,), bool), imp=jnp.zeros((0,), dtype), meta=meta,
         )
-
-    J = jnp.stack(rows_J)
-    active = jnp.stack(rows_active)
-    actf = active.astype(dtype)
+    active = jnp.concatenate(parts_act)
     return Efc(
-        J=J * actf[:, None],
-        R=jnp.where(active, jnp.stack(rows_R), 1.0),
-        aref=jnp.stack(rows_aref) * actf,
-        pos=jnp.stack(rows_pos),
+        J=jnp.concatenate(parts_J) * active.astype(dtype)[:, None],
+        R=jnp.concatenate(parts_R),
+        aref=jnp.concatenate(parts_aref),
+        pos=jnp.concatenate(parts_pos),
         active=active,
-        imp=jnp.stack(rows_imp),
-        is_contact=np.array(meta_contact, bool),
-        slot_id=np.array(meta_slot, int),
+        imp=jnp.concatenate(parts_imp),
+        meta=meta,
     )

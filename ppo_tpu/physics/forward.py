@@ -5,13 +5,12 @@ Pipeline (matches MuJoCo's mj_forward -> integrator order):
   -> actuation -> collision -> constraint rows -> qacc_smooth -> dual PGS
   -> qacc -> Euler (implicit joint damping) or RK4.
 
-`make_step_fn(model)` closes over the static model (arrays become XLA
-constants) and returns a pure step for a single env; batch with `vmap`.
+`make_step_fn(model)` closes over a static StepContext (the model arrays become
+XLA constants) and returns a pure step for a single env; batch with `vmap`.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -21,7 +20,22 @@ import numpy as np
 from ppo_tpu.physics import collision, constraint, smooth, solver
 from ppo_tpu.physics import math as pm
 from ppo_tpu.physics.model import Model
-from ppo_tpu.physics.types import EULER, FREE, RK4
+from ppo_tpu.physics.types import EULER, FREE
+
+
+class StepContext(NamedTuple):
+    """Static per-model precomputation shared by every step."""
+
+    slots: collision.ContactSlots
+    mask: np.ndarray
+    meta: constraint.EfcMeta
+
+
+def make_context(m: Model) -> StepContext:
+    slots = collision.contact_slots(m)
+    mask = smooth.ancestor_mask(m)
+    meta = constraint.make_efc_meta(m, slots, mask)
+    return StepContext(slots=slots, mask=mask, meta=meta)
 
 
 class ForwardOut(NamedTuple):
@@ -38,13 +52,15 @@ class ForwardOut(NamedTuple):
     M: jnp.ndarray
 
 
-def forward(m: Model, qpos, qvel, ctrl, slots, mask, iterations=None) -> ForwardOut:
+def forward(m: Model, qpos, qvel, ctrl, ctx: StepContext | None = None, iterations=None) -> ForwardOut:
+    if ctx is None:
+        ctx = make_context(m)
     iterations = iterations or m.opt.solver_iterations
     kin = smooth.kinematics(m, qpos)
     com = smooth.com_quantities(m, kin)
-    M = smooth.crb_mass_matrix(m, com, mask)
+    M = smooth.crb_mass_matrix(m, com, ctx.mask)
     vel = smooth.com_velocities(m, com, qvel)
-    qfrc_bias = smooth.rne_bias(m, com, vel, qvel, mask)
+    qfrc_bias = smooth.rne_bias(m, com, vel, qvel, ctx.mask)
     qfrc_passive = smooth.passive_forces(m, qpos, qvel)
     qfrc_actuator = smooth.actuator_forces(m, ctrl)
     qfrc_smooth = qfrc_passive + qfrc_actuator - qfrc_bias
@@ -52,8 +68,8 @@ def forward(m: Model, qpos, qvel, ctrl, slots, mask, iterations=None) -> Forward
     Mchol = jax.scipy.linalg.cho_factor(M)
     qacc_smooth = jax.scipy.linalg.cho_solve(Mchol, qfrc_smooth)
 
-    contacts = collision.collide(m, kin.geom_xpos, kin.geom_xmat, slots)
-    efc = constraint.make_efc(m, com, mask, qpos, qvel, contacts)
+    contacts = collision.collide(m, kin.geom_xpos, kin.geom_xmat, ctx.slots)
+    efc = constraint.make_efc(m, ctx.meta, com, qpos, qvel, contacts)
 
     ne = efc.J.shape[0]
     if ne:
@@ -89,9 +105,9 @@ def integrate_pos(m: Model, qpos, qvel, dt):
     return out
 
 
-def _euler_step(m: Model, slots, mask, qpos, qvel, ctrl, iterations):
+def _euler_step(m: Model, ctx, qpos, qvel, ctrl, iterations):
     h = m.opt.timestep
-    fwd = forward(m, qpos, qvel, ctrl, slots, mask, iterations)
+    fwd = forward(m, qpos, qvel, ctrl, ctx, iterations)
     damping = np.asarray(m.dof_damping)
     if damping.any():
         # implicit joint damping: dv = h * (M + h diag(B))^-1 (f_smooth + f_constraint)
@@ -109,75 +125,83 @@ _RK4_A = ((0.5,), (0.0, 0.5), (0.0, 0.0, 1.0))
 _RK4_B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
 
 
-def _rk4_step(m: Model, slots, mask, qpos, qvel, ctrl, iterations):
+def _rk4_step(m: Model, ctx, qpos, qvel, ctrl, iterations):
     h = m.opt.timestep
-    fwd0 = forward(m, qpos, qvel, ctrl, slots, mask, iterations)
+    fwd0 = forward(m, qpos, qvel, ctrl, ctx, iterations)
     Fv = [qvel]
     Fa = [fwd0.qacc]
+    fwd_i = fwd0
     for i in range(3):
         dv = sum(a * v for a, v in zip(_RK4_A[i], Fv) if a)
         da = sum(a * acc for a, acc in zip(_RK4_A[i], Fa) if a)
         qpos_i = integrate_pos(m, qpos, dv, h)
         qvel_i = qvel + h * da
-        fwd_i = forward(m, qpos_i, qvel_i, ctrl, slots, mask, iterations)
+        fwd_i = forward(m, qpos_i, qvel_i, ctrl, ctx, iterations)
         Fv.append(qvel_i)
         Fa.append(fwd_i.qacc)
     dv = sum(b * v for b, v in zip(_RK4_B, Fv))
     da = sum(b * a for b, a in zip(_RK4_B, Fa))
     qpos_new = integrate_pos(m, qpos, dv, h)
     qvel_new = qvel + h * da
-    return qpos_new, qvel_new, fwd0
+    # mjData observables (xpos, cvel, contacts, ...) are left at the LAST RK
+    # stage's trial state after mj_step — gymnasium's stale reads (cfrc_ext,
+    # get_body_com, cinert) see exactly that, so we return the stage-3 forward.
+    return qpos_new, qvel_new, fwd_i
 
 
-def step(m: Model, slots, mask, qpos, qvel, ctrl, iterations=None):
-    """One mj_step: returns (qpos', qvel', ForwardOut at the pre-step state)."""
+def step(m: Model, ctx: StepContext, qpos, qvel, ctrl, iterations=None):
+    """One mj_step: returns (qpos', qvel', ForwardOut of the mjData-visible state)."""
     iterations = iterations or m.opt.solver_iterations
     if m.opt.integrator == EULER:
-        return _euler_step(m, slots, mask, qpos, qvel, ctrl, iterations)
-    return _rk4_step(m, slots, mask, qpos, qvel, ctrl, iterations)
+        return _euler_step(m, ctx, qpos, qvel, ctrl, iterations)
+    return _rk4_step(m, ctx, qpos, qvel, ctrl, iterations)
 
 
 def make_step_fn(m: Model, iterations=None):
     """Build a closed-over single-env step(qpos, qvel, ctrl) ready for jit/vmap."""
-    slots = collision.contact_slots(m)
-    mask = smooth.ancestor_mask(m)
+    ctx = make_context(m)
 
     def _step(qpos, qvel, ctrl):
-        qpos2, qvel2, _ = step(m, slots, mask, qpos, qvel, ctrl, iterations)
+        qpos2, qvel2, _ = step(m, ctx, qpos, qvel, ctrl, iterations)
         return qpos2, qvel2
 
     return _step
 
 
-def rne_post_constraint(m: Model, com, vel, fwd: ForwardOut, mask):
+def contact_forces(fwd: ForwardOut):
+    """World-frame contact force per slot [S, 3] recovered from pyramid rows."""
+    meta = fwd.efc.meta
+    S = meta.n_slots
+    if S == 0:
+        return jnp.zeros((0, 3), fwd.qacc.dtype)
+    f_rows = fwd.efc_force[meta.n_limit :].reshape(S, 4)
+    frame = fwd.contacts.frame
+    mu = jnp.asarray(fwd.contacts.friction, fwd.qacc.dtype)
+    # condim-1 slots have a single pure-normal row (no pyramid decomposition)
+    pyramidal = jnp.asarray(meta.con_rowmask[:, 1], fwd.qacc.dtype)
+    normal = jnp.sum(f_rows, -1)
+    t1 = pyramidal * mu[:, 0] * (f_rows[:, 0] - f_rows[:, 1])
+    t2 = pyramidal * mu[:, 1] * (f_rows[:, 2] - f_rows[:, 3])
+    return (
+        frame[:, 0] * normal[:, None] + frame[:, 1] * t1[:, None] + frame[:, 2] * t2[:, None]
+    )
+
+
+def rne_post_constraint(m: Model, com, vel, fwd: ForwardOut, mask=None):
     """cfrc_ext: per-body com-based external (contact) force [nbody, 6],
     torque-first, about each body's c-frame origin (mj_rnePostConstraint subset:
     no xfrc_applied / equality constraints in these models)."""
     dtype = fwd.qacc.dtype
-    nbody = m.nbody
-    cfrc_ext = jnp.zeros((nbody, 6), dtype)
-    origins = com.subtree_com[np.maximum(m.body_rootid, 0)]
-    contacts = fwd.contacts
-    # recover world-frame contact forces from pyramid coefficients
-    for s in range(len(contacts.geom1)):
-        rows = np.nonzero(fwd.efc.slot_id == s)[0]
-        if len(rows) == 0:
-            continue
-        f_rows = fwd.efc_force[rows]
-        frame = contacts.frame[s]
-        if len(rows) == 1:
-            force_w = frame[0] * f_rows[0]
-        else:
-            mu = contacts.friction[s]
-            normal = jnp.sum(f_rows)
-            t1 = mu[0] * (f_rows[0] - f_rows[1])
-            t2 = mu[1] * (f_rows[2] - f_rows[3])
-            force_w = frame[0] * normal + frame[1] * t1 + frame[2] * t2
-        pos = contacts.pos[s]
-        b1, b2 = int(contacts.body1[s]), int(contacts.body2[s])
-        for b, sign in ((b1, -1.0), (b2, 1.0)):
-            if b == 0:
-                continue
-            torque = jnp.cross(pos - origins[b], sign * force_w)
-            cfrc_ext = cfrc_ext.at[b].add(jnp.concatenate([torque, sign * force_w]))
+    slots = fwd.contacts.slots
+    S = len(slots.geom1)
+    cfrc_ext = jnp.zeros((m.nbody, 6), dtype)
+    if S == 0:
+        return cfrc_ext
+    force = contact_forces(fwd)                         # [S, 3]
+    origins = com.subtree_com[np.maximum(m.body_rootid, 0)]  # [nbody, 3]
+    pos = fwd.contacts.pos
+    for bodies, sign in ((slots.body1, -1.0), (slots.body2, 1.0)):
+        fb = sign * force * jnp.asarray(bodies != 0, dtype)[:, None]
+        torque = jnp.cross(pos - origins[bodies], fb)
+        cfrc_ext = cfrc_ext.at[bodies].add(jnp.concatenate([torque, fb], -1))
     return cfrc_ext

@@ -41,11 +41,9 @@ def contact_state(mj, seed, drop):
 def test_qacc_matches_mujoco(xml, seed, drop):
     m, mj = load_pair(xml)
     d = contact_state(mj, seed, drop)
-    slots = collision.contact_slots(m)
-    mask = smooth.ancestor_mask(m)
     fwd = forward.forward(
         m, jnp.asarray(d.qpos), jnp.asarray(d.qvel), jnp.asarray(d.ctrl),
-        slots, mask, iterations=500,
+        iterations=500,
     )
     np.testing.assert_allclose(np.asarray(fwd.qacc_smooth), d.qacc_smooth, atol=1e-6)
     # active row count parity
@@ -60,11 +58,9 @@ def test_efc_rows_match_mujoco(xml):
     """aref / R / impedance / pos parity for active rows (sorted by aref)."""
     m, mj = load_pair(xml)
     d = contact_state(mj, 0, 0.15)
-    slots = collision.contact_slots(m)
-    mask = smooth.ancestor_mask(m)
     fwd = forward.forward(
         m, jnp.asarray(d.qpos), jnp.asarray(d.qvel), jnp.asarray(d.ctrl),
-        slots, mask, iterations=100,
+        iterations=100,
     )
     act = np.asarray(fwd.efc.active)
     ours = np.stack(
@@ -81,11 +77,9 @@ def test_cfrc_ext_matches_mujoco(xml):
     m, mj = load_pair(xml)
     d = contact_state(mj, 0, 0.15)
     mujoco.mj_rnePostConstraint(mj, d)
-    slots = collision.contact_slots(m)
-    mask = smooth.ancestor_mask(m)
     fwd = forward.forward(
         m, jnp.asarray(d.qpos), jnp.asarray(d.qvel), jnp.asarray(d.ctrl),
-        slots, mask, iterations=500,
+        iterations=500,
     )
-    cfrc = forward.rne_post_constraint(m, fwd.com, fwd.vel, fwd, mask)
+    cfrc = forward.rne_post_constraint(m, fwd.com, fwd.vel, fwd)
     np.testing.assert_allclose(np.asarray(cfrc), d.cfrc_ext, atol=2e-3)
