@@ -259,7 +259,8 @@ class Humanoid(MujocoEnv):
         inert = jnp.stack(
             [tl[:, 0, 0], tl[:, 1, 1], tl[:, 2, 2], tl[:, 0, 1], tl[:, 0, 2], tl[:, 1, 2]], -1
         )
-        mc = jnp.stack([ci[:, 1, 5], ci[:, 2, 3], ci[:, 0, 4]], -1)  # m*c from skew
+        # m*c from the TR block m*skew(c): mcx=TR[2,1], mcy=TR[0,2], mcz=TR[1,0]
+        mc = jnp.stack([ci[:, 2, 3 + 1], ci[:, 0, 3 + 2], ci[:, 1, 3 + 0]], -1)
         mass = ci[:, 3, 3:4]
         return jnp.concatenate([inert, mc, mass], -1)  # [nbody, 10]
 
