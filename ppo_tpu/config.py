@@ -1,0 +1,121 @@
+"""Config system: dataclass defaults + CLI flags + derived-field recompute.
+
+Mirrors the reference's GlobalConfig pattern (src/ppo_continuous_action.cpp:51-118:
+defaults struct, args flags mirroring every field, derived batch/minibatch/
+iteration counts recomputed after parsing, markdown hyperparameter dump for
+TensorBoard) plus JSON round-trip like the CARLA config (carla_config.h:379-496).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PPOConfig:
+    # experiment
+    exp_name: str = "ppo_tpu"
+    seed: int = 1
+    env_id: str = "HalfCheetah-v5"
+    total_timesteps: int = 1_000_000
+    torch_deterministic: bool = True        # accepted for CLI parity; no-op (JAX is deterministic)
+    # algorithm (CleanRL defaults, ppo_continuous_action.cpp:51-76)
+    learning_rate: float = 3e-4
+    num_envs: int = 1
+    num_steps: int = 2048
+    anneal_lr: bool = True
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    num_minibatches: int = 32
+    update_epochs: int = 10
+    norm_adv: bool = True
+    clip_coef: float = 0.2
+    clip_vloss: bool = True
+    ent_coef: float = 0.0
+    vf_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    # infra
+    exp_folder: str = "runs"
+    num_eval_runs: int = 10
+    eval_seed: int = 10_000
+    checkpoint_every: int = 1
+    solver_iterations: int = 30             # physics PGS sweeps (TPU throughput knob)
+    agent: str = "gaussian"                 # gaussian | beta
+    sample_type: str = "sample"             # beta-agent collection sampling
+    # AC-PPO style extensions
+    pipelined: bool = False                 # overlap rollout & update (AC-PPO replacement)
+    num_devices: int = 1                    # data-parallel devices (mesh axis size)
+    use_dd_ppo_preempt: bool = False        # config-surface parity; see parallel/preempt.py
+    dd_ppo_min_perc: float = 0.25
+    dd_ppo_preempt_threshold: float = 0.6
+    # derived (recomputed, not flags)
+    batch_size: int = field(init=False, default=0)
+    minibatch_size: int = field(init=False, default=0)
+    num_iterations: int = field(init=False, default=0)
+
+    def __post_init__(self):
+        self.recompute()
+
+    def recompute(self):
+        self.batch_size = self.num_steps * self.num_envs
+        self.minibatch_size = max(1, self.batch_size // self.num_minibatches)
+        self.num_iterations = self.total_timesteps // self.batch_size
+        return self
+
+    # -- markdown dump for TB (to_string, ppo_continuous_action.cpp:83-117)
+    def to_markdown(self) -> str:
+        rows = "\n".join(
+            f"|{k}|{v}|" for k, v in dataclasses.asdict(self).items()
+        )
+        return "|param|value|\n|-|-|\n" + rows
+
+    # -- JSON round-trip (carla_config.h pattern)
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["py/object"] = "ppo_tpu.config.PPOConfig"
+        return json.dumps(d, indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "PPOConfig":
+        d = json.loads(text)
+        d.pop("py/object", None)
+        cfg = cls()
+        for k, v in d.items():
+            if hasattr(cfg, k):
+                setattr(cfg, k, v)
+        return cfg.recompute()
+
+
+def _add_flags(parser: argparse.ArgumentParser, cfg) -> None:
+    for f in dataclasses.fields(cfg):
+        if not f.init:
+            continue
+        default = getattr(cfg, f.name)
+        if isinstance(default, bool):
+            parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"),
+                                default=default)
+        else:
+            parser.add_argument(f"--{f.name}", type=type(default), default=default)
+
+
+def parse_config(argv=None, cls=PPOConfig):
+    """CLI > loaded json > defaults (the CARLA double-parse sandwich,
+    ac_ppo_carla.cpp:90-99)."""
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--load_file", type=str, default="")
+    known, _ = pre.parse_known_args(argv)
+    cfg = cls()
+    if known.load_file:
+        with open(known.load_file) as f:
+            cfg = cls.from_json(f.read())
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--load_file", type=str, default="")
+    _add_flags(parser, cfg)
+    args = parser.parse_args(argv)
+    for f in dataclasses.fields(cfg):
+        if f.init and hasattr(args, f.name):
+            setattr(cfg, f.name, getattr(args, f.name))
+    return cfg.recompute()

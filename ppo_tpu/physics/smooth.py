@@ -80,14 +80,14 @@ def kinematics(m: Model, qpos: jnp.ndarray) -> Kin:
                 axis_w = pm.quat_rot(quat, jnp.asarray(m.jnt_axis[j], dtype))
                 xanchor[j] = pos + pm.quat_rot(quat, jnp.asarray(m.jnt_pos[j], dtype))
                 xaxis[j] = axis_w
-                pos = pos + axis_w * (qpos[qadr] - m.qpos0[qadr])
+                pos = pos + axis_w * (qpos[qadr] - float(m.qpos0[qadr]))
             elif jtype == HINGE:
                 # anchor and axis are both invariant under the joint's own rotation
                 anchor = pos + pm.quat_rot(quat, jnp.asarray(m.jnt_pos[j], dtype))
                 axis_local = jnp.asarray(m.jnt_axis[j], dtype)
                 xanchor[j] = anchor
                 xaxis[j] = pm.quat_rot(quat, axis_local)
-                angle = qpos[qadr] - m.qpos0[qadr]
+                angle = qpos[qadr] - float(m.qpos0[qadr])
                 qloc = jnp.concatenate(
                     [jnp.cos(angle / 2)[None], axis_local * jnp.sin(angle / 2)]
                 )
@@ -284,7 +284,7 @@ def passive_forces(m: Model, qpos: jnp.ndarray, qvel: jnp.ndarray) -> jnp.ndarra
         qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
         k = jnp.asarray(m.jnt_stiffness[j], dtype)
         if jtype in (SLIDE, HINGE):
-            qfrc = qfrc.at[dadr].add(-k * (qpos[qadr] - m.qpos_spring[qadr]))
+            qfrc = qfrc.at[dadr].add(-k * (qpos[qadr] - float(m.qpos_spring[qadr])))
         else:  # FREE: translational spring + rotational spring via quat difference
             qfrc = qfrc.at[dadr : dadr + 3].add(
                 -k * (qpos[qadr : qadr + 3] - jnp.asarray(m.qpos_spring[qadr : qadr + 3], dtype))

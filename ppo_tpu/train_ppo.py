@@ -1,0 +1,119 @@
+"""Synchronous PPO trainer CLI — replaces `ppo_continuous_action` end to end.
+
+Same flag surface as the reference binary (src/ppo_continuous_action.cpp:199-266),
+same wrapper stack (RecordStats -> NormObs -> clip(+-10) -> NormReward(gamma) ->
+clip(+-10), lines 41-49), same TB scalar names, per-iteration checkpoints with
+stale-file cleanup, and a final stochastic eval reusing the training envs.
+
+Run: python -m ppo_tpu.train_ppo --env_id HalfCheetah-v5 --total_timesteps 1000000
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppo_tpu.algos import ppo
+from ppo_tpu.config import PPOConfig, parse_config
+from ppo_tpu.envs import VectorEnv, make_env
+from ppo_tpu.models import BetaActorCritic, GaussianActorCritic
+from ppo_tpu.utils import checkpoint as ckpt
+from ppo_tpu.utils.tictoc import TicToc
+from ppo_tpu.utils.tb import SummaryWriter
+
+
+def build_model(cfg: PPOConfig, env):
+    if cfg.agent == "gaussian":
+        return GaussianActorCritic(act_dim=env.act_dim)
+    if cfg.agent == "beta":
+        from ppo_tpu.hardcoded_obs_stats import get_obs_stats
+
+        mean, std = get_obs_stats(cfg.env_id, env.obs_dim)
+        return BetaActorCritic(
+            act_dim=env.act_dim, action_low=env.action_low, action_high=env.action_high,
+            obs_mean=tuple(mean), obs_std=tuple(std),
+        )
+    raise ValueError(f"unknown agent {cfg.agent}")
+
+
+def train(cfg: PPOConfig, verbose: bool = True):
+    run_name = f"{cfg.env_id}__{cfg.exp_name}__{cfg.seed}__{int(time.time())}"
+    folder = os.path.join(cfg.exp_folder, run_name)
+    writer = SummaryWriter(folder)
+    writer.add_text("hyperparameters", cfg.to_markdown())
+    with open(os.path.join(folder, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    env = make_env(cfg.env_id, dtype=jnp.float32, solver_iterations=cfg.solver_iterations)
+    use_wrappers = cfg.agent == "gaussian"  # AC-PPO bakes normalization into the model
+    venv = VectorEnv(
+        env, cfg.num_envs, clip_actions=True,
+        normalize_obs=use_wrappers, normalize_reward=use_wrappers, gamma=cfg.gamma,
+    )
+    model = build_model(cfg, env)
+    optimizer = ppo.make_optimizer(cfg)
+    rs = ppo.init_runner_state(cfg, venv, model, optimizer, jax.random.PRNGKey(cfg.seed))
+    train_iteration = jax.jit(ppo.make_train_iteration(cfg, venv, model, optimizer), donate_argnums=0)
+
+    global_step = 0
+    start = time.time()
+    tt = TicToc(verbose=verbose)
+    for iteration in range(1, cfg.num_iterations + 1):
+        tt.tic()
+        rs, out = train_iteration(rs)
+        out = jax.block_until_ready(jax.device_get(out))
+        collect_train_time = tt.toc("Time for iteration:") if verbose else 0.0
+        global_step += cfg.batch_size
+
+        # episodic stats (charts/*, same tags as the reference)
+        done = out.episode_done
+        if done.any():
+            rets = out.episode_return[done]
+            lens = out.episode_length[done]
+            for r, l in zip(rets[-8:], lens[-8:]):
+                writer.add_scalar("charts/episodic_return", float(r), global_step)
+                writer.add_scalar("charts/episodic_length", float(l), global_step)
+            writer.add_scalar(
+                "charts/episodic_return_per_sec", float(rets.mean()), int(time.time() - start)
+            )
+        writer.add_scalar("charts/learning_rate", ppo.current_lr(cfg, iteration - 1), global_step)
+        s = out.stats
+        writer.add_scalar("losses/value_loss", float(s.value_loss), global_step)
+        writer.add_scalar("losses/policy_loss", float(s.policy_loss), global_step)
+        writer.add_scalar("losses/entropy", float(s.entropy), global_step)
+        writer.add_scalar("losses/old_approx_kl", float(s.old_approx_kl), global_step)
+        writer.add_scalar("losses/approx_kl", float(s.approx_kl), global_step)
+        writer.add_scalar("losses/clipfrac", float(s.clipfrac), global_step)
+        sps = int(global_step / (time.time() - start))
+        writer.add_scalar("charts/SPS", sps, global_step)
+        if verbose:
+            print(f"iter {iteration}/{cfg.num_iterations} SPS {sps}")
+
+        if cfg.checkpoint_every and iteration % cfg.checkpoint_every == 0:
+            ckpt.save_state(rs, folder, iteration)
+
+    ckpt.save_final(rs, folder)
+
+    # final eval: training envs keep their normalization statistics
+    returns = ppo.evaluate(cfg, venv, model, rs.params, jax.random.PRNGKey(cfg.eval_seed))
+    for i, r in enumerate(returns):
+        writer.add_scalar("eval/episodic_return", float(r), i)
+    if len(returns):
+        writer.add_scalar("eval/avg_return", float(np.mean(returns)), 0)
+        if verbose:
+            print(f"eval avg return over {len(returns)} episodes: {np.mean(returns):.2f}")
+    writer.close()
+    return rs, returns
+
+
+def main(argv=None):
+    cfg = parse_config(argv)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Checkpointing: params + optimizer + env-normalizer state + RNG + iteration.
+
+Replaces the reference's per-iteration `torch::save(agent/optimizer)` with
+stale-file cleanup (ppo_continuous_action.cpp:173-180, 545-563) and fixes its
+documented gap (ppo...cpp:595-599): normalization-wrapper statistics and RNG
+keys are part of the checkpoint, so eval/resume see the exact training state.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from pathlib import Path
+
+import jax
+from flax import serialization
+
+
+_LATEST_RE = re.compile(r"state_latest_(\d{9})\.msgpack$")
+
+
+def save_state(state, folder: str | os.PathLike, iteration: int, keep_old: bool = False):
+    folder = Path(folder)
+    folder.mkdir(parents=True, exist_ok=True)
+    path = folder / f"state_latest_{iteration:09d}.msgpack"
+    data = serialization.to_bytes(jax.device_get(state))
+    tmp = path.with_suffix(".tmp")
+    tmp.write_bytes(data)
+    os.replace(tmp, path)
+    if not keep_old:
+        for f in folder.iterdir():
+            m = _LATEST_RE.search(f.name)
+            if m and int(m.group(1)) != iteration:
+                f.unlink()
+    return path
+
+
+def save_final(state, folder: str | os.PathLike):
+    folder = Path(folder)
+    folder.mkdir(parents=True, exist_ok=True)
+    path = folder / "state_final.msgpack"
+    path.write_bytes(serialization.to_bytes(jax.device_get(state)))
+    return path
+
+
+def save_best(state, folder: str | os.PathLike):
+    folder = Path(folder)
+    folder.mkdir(parents=True, exist_ok=True)
+    path = folder / "state_best.msgpack"
+    path.write_bytes(serialization.to_bytes(jax.device_get(state)))
+    return path
+
+
+def latest_checkpoint(folder: str | os.PathLike):
+    """(path, iteration) of the newest state_latest file, or (None, -1)."""
+    folder = Path(folder)
+    best, best_it = None, -1
+    if folder.is_dir():
+        for f in folder.iterdir():
+            m = _LATEST_RE.search(f.name)
+            if m and int(m.group(1)) > best_it:
+                best, best_it = f, int(m.group(1))
+    return best, best_it
+
+
+def restore_state(path: str | os.PathLike, target):
+    """Restore into a template pytree with the same structure."""
+    return serialization.from_bytes(target, Path(path).read_bytes())
