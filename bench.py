@@ -1,0 +1,66 @@
+"""Throughput benchmark: HalfCheetah-v5 massively vectorized lockstep env steps.
+
+Runs the flagship config from BASELINE.json ("HalfCheetah-v5 massively
+vectorized: 4096 lockstep envs on one chip") on whatever backend is available
+(the real TPU chip under the driver; CPU elsewhere) and prints ONE json line:
+
+  {"metric": "env_steps_per_s", "value": N, "unit": "steps/s", "vs_baseline": r}
+
+vs_baseline is value / 1e6 — the fraction of the >1M aggregate env-steps/s
+multi-host target from BASELINE.json (the reference itself publishes no
+numbers, README.md:82).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def bench(num_envs=4096, steps=50, solver_iterations=8, warmup=3):
+    from ppo_tpu.envs import make_env
+    from ppo_tpu.models import GaussianActorCritic
+
+    env = make_env("HalfCheetah-v5", dtype=jnp.float32, solver_iterations=solver_iterations)
+    model = GaussianActorCritic(act_dim=env.act_dim)
+    params = model.init_params(jax.random.PRNGKey(1), env.obs_dim)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), num_envs)
+    state, obs = jax.vmap(env.reset)(keys)
+
+    @jax.jit
+    def loop(params, state, obs, key):
+        def body(carry, _):
+            state, obs, key = carry
+            key, k = jax.random.split(key)
+            action, _, _, _ = model.get_action_and_value(params, obs, k)
+            state, obs, reward, term, trunc = jax.vmap(env.step)(state, action)
+            return (state, obs, key), jnp.sum(reward)
+
+        (state, obs, key), rs = jax.lax.scan(body, (state, obs, key), None, length=steps)
+        return state, obs, key, jnp.sum(rs)
+
+    key = jax.random.PRNGKey(2)
+    # compile + warmup
+    state, obs, key, _ = jax.block_until_ready(loop(params, state, obs, key))
+    for _ in range(warmup - 1):
+        state, obs, key, _ = jax.block_until_ready(loop(params, state, obs, key))
+
+    t0 = time.perf_counter()
+    n_rep = 3
+    for _ in range(n_rep):
+        state, obs, key, _ = jax.block_until_ready(loop(params, state, obs, key))
+    dt = time.perf_counter() - t0
+    env_steps = num_envs * steps * n_rep
+    return env_steps / dt
+
+
+if __name__ == "__main__":
+    sps = bench()
+    print(json.dumps({
+        "metric": "env_steps_per_s",
+        "value": round(sps),
+        "unit": "steps/s",
+        "vs_baseline": round(sps / 1_000_000, 4),
+    }))

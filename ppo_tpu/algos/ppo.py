@@ -195,11 +195,12 @@ def evaluate(cfg: PPOConfig, venv: VectorEnv, model, params, key, num_episodes=N
     episode returns until num_eval_runs episodes finished."""
     num_episodes = num_episodes or cfg.num_eval_runs
     state, obs = venv.reset(key)
+    kwargs = {"sample_type": cfg.sample_type} if cfg.agent == "beta" and cfg.sample_type != "sample" else {}
 
     def eval_step(carry, _):
         state, obs, key = carry
         key, k = jax.random.split(key)
-        action, _, _, _ = model.get_action_and_value(params, obs, k)
+        action, _, _, _ = model.get_action_and_value(params, obs, k, **kwargs)
         state, obs, _, term, trunc, infos = venv.step(state, action)
         return (state, obs, key), (infos["episode_return"], infos["done"])
 

@@ -56,11 +56,14 @@ class MujocoEnv:
     action_high: float = 1.0
     needs_cfrc: bool = False
 
-    def __init__(self, dtype=jnp.float32, solver_iterations: int | None = None):
+    def __init__(self, dtype=jnp.float32, solver_iterations: int | None = None,
+                 solver_type: str = "newton"):
         self.dtype = dtype
         self.model: Model = smooth.set_const(load_model(gym_asset_path(self.xml)))
         self.ctx = forward.make_context(self.model)
-        self.iterations = solver_iterations or self.model.opt.solver_iterations
+        self.solver_type = solver_type
+        default_iters = 8 if solver_type == "newton" else self.model.opt.solver_iterations
+        self.iterations = solver_iterations or default_iters
         self.dt = self.model.opt.timestep * self.frame_skip
         self.nq, self.nv, self.nu = self.model.nq, self.model.nv, self.model.nu
 
@@ -71,14 +74,14 @@ class MujocoEnv:
         if self.frame_skip > 1:
             def body(carry, _):
                 qp, qv = carry
-                qp2, qv2, _ = forward.step(self.model, self.ctx, qp, qv, ctrl, self.iterations)
+                qp2, qv2, _ = forward.step(self.model, self.ctx, qp, qv, ctrl, self.iterations, self.solver_type)
                 return (qp2, qv2), None
 
             (qpos, qvel), _ = jax.lax.scan(
                 body, (qpos, qvel), None, length=self.frame_skip - 1
             )
         qpos, qvel, last_fwd = forward.step(
-            self.model, self.ctx, qpos, qvel, ctrl, self.iterations
+            self.model, self.ctx, qpos, qvel, ctrl, self.iterations, self.solver_type
         )
         extras = StepExtras(
             fwd=last_fwd,
@@ -94,7 +97,7 @@ class MujocoEnv:
         """mj_forward after reset (fills kinematic observables)."""
         return forward.forward(
             self.model, qpos, qvel, jnp.zeros(self.nu, self.dtype),
-            self.ctx, self.iterations,
+            self.ctx, self.iterations, self.solver_type,
         )
 
     # -- common reset -----------------------------------------------------

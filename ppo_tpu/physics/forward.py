@@ -52,7 +52,7 @@ class ForwardOut(NamedTuple):
     M: jnp.ndarray
 
 
-def forward(m: Model, qpos, qvel, ctrl, ctx: StepContext | None = None, iterations=None) -> ForwardOut:
+def forward(m: Model, qpos, qvel, ctrl, ctx: StepContext | None = None, iterations=None, solver_type: str = "newton") -> ForwardOut:
     if ctx is None:
         ctx = make_context(m)
     iterations = iterations or m.opt.solver_iterations
@@ -72,7 +72,11 @@ def forward(m: Model, qpos, qvel, ctrl, ctx: StepContext | None = None, iteratio
     efc = constraint.make_efc(m, ctx.meta, com, qpos, qvel, contacts)
 
     ne = efc.J.shape[0]
-    if ne:
+    if ne and solver_type == "newton":
+        D = 1.0 / efc.R
+        f, qacc = solver.solve_newton(M, efc.J, D, efc.aref, qacc_smooth, iterations)
+        qfrc_constraint = efc.J.T @ f
+    elif ne:
         MiJT = jax.scipy.linalg.cho_solve(Mchol, efc.J.T)      # [nv, ne]
         A = efc.J @ MiJT + jnp.diag(efc.R)
         b = efc.J @ qacc_smooth - efc.aref
@@ -105,9 +109,9 @@ def integrate_pos(m: Model, qpos, qvel, dt):
     return out
 
 
-def _euler_step(m: Model, ctx, qpos, qvel, ctrl, iterations):
+def _euler_step(m: Model, ctx, qpos, qvel, ctrl, iterations, solver_type):
     h = m.opt.timestep
-    fwd = forward(m, qpos, qvel, ctrl, ctx, iterations)
+    fwd = forward(m, qpos, qvel, ctrl, ctx, iterations, solver_type)
     damping = np.asarray(m.dof_damping)
     if damping.any():
         # implicit joint damping: dv = h * (M + h diag(B))^-1 (f_smooth + f_constraint)
@@ -125,9 +129,9 @@ _RK4_A = ((0.5,), (0.0, 0.5), (0.0, 0.0, 1.0))
 _RK4_B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
 
 
-def _rk4_step(m: Model, ctx, qpos, qvel, ctrl, iterations):
+def _rk4_step(m: Model, ctx, qpos, qvel, ctrl, iterations, solver_type):
     h = m.opt.timestep
-    fwd0 = forward(m, qpos, qvel, ctrl, ctx, iterations)
+    fwd0 = forward(m, qpos, qvel, ctrl, ctx, iterations, solver_type)
     Fv = [qvel]
     Fa = [fwd0.qacc]
     fwd_i = fwd0
@@ -136,7 +140,7 @@ def _rk4_step(m: Model, ctx, qpos, qvel, ctrl, iterations):
         da = sum(a * acc for a, acc in zip(_RK4_A[i], Fa) if a)
         qpos_i = integrate_pos(m, qpos, dv, h)
         qvel_i = qvel + h * da
-        fwd_i = forward(m, qpos_i, qvel_i, ctrl, ctx, iterations)
+        fwd_i = forward(m, qpos_i, qvel_i, ctrl, ctx, iterations, solver_type)
         Fv.append(qvel_i)
         Fa.append(fwd_i.qacc)
     dv = sum(b * v for b, v in zip(_RK4_B, Fv))
@@ -149,20 +153,20 @@ def _rk4_step(m: Model, ctx, qpos, qvel, ctrl, iterations):
     return qpos_new, qvel_new, fwd_i
 
 
-def step(m: Model, ctx: StepContext, qpos, qvel, ctrl, iterations=None):
+def step(m: Model, ctx: StepContext, qpos, qvel, ctrl, iterations=None, solver_type="newton"):
     """One mj_step: returns (qpos', qvel', ForwardOut of the mjData-visible state)."""
     iterations = iterations or m.opt.solver_iterations
     if m.opt.integrator == EULER:
-        return _euler_step(m, ctx, qpos, qvel, ctrl, iterations)
-    return _rk4_step(m, ctx, qpos, qvel, ctrl, iterations)
+        return _euler_step(m, ctx, qpos, qvel, ctrl, iterations, solver_type)
+    return _rk4_step(m, ctx, qpos, qvel, ctrl, iterations, solver_type)
 
 
-def make_step_fn(m: Model, iterations=None):
+def make_step_fn(m: Model, iterations=None, solver_type="newton"):
     """Build a closed-over single-env step(qpos, qvel, ctrl) ready for jit/vmap."""
     ctx = make_context(m)
 
     def _step(qpos, qvel, ctrl):
-        qpos2, qvel2, _ = step(m, ctx, qpos, qvel, ctrl, iterations)
+        qpos2, qvel2, _ = step(m, ctx, qpos, qvel, ctrl, iterations, solver_type)
         return qpos2, qvel2
 
     return _step

@@ -1,0 +1,147 @@
+"""AC-PPO trainer CLI — replaces `ac_ppo_continuous_action` end to end.
+
+Beta policy with baked observation statistics, Atari-style defaults (lr 2.5e-4,
+8 envs x 128 steps, 4 minibatches, 4 epochs, clip 0.1, ent 0.01 —
+src/ac_ppo_continuous_action.cpp:60-76), pipelined rollout/update (the
+TPU-native replacement for per-env collector threads), per-iteration
+checkpoints, rank-style TB logging, --estimate_mean_std pass, and a final
+deterministic ("mean" sample type) eval like ac_ppo...cpp:965-1001.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppo_tpu.algos import ac_ppo, ppo
+from ppo_tpu.config import PPOConfig, parse_config
+from ppo_tpu.envs import VectorEnv, make_env
+from ppo_tpu.train_ppo import build_model
+from ppo_tpu.utils import checkpoint as ckpt
+from ppo_tpu.utils.tb import SummaryWriter
+
+
+@dataclasses.dataclass
+class ACPPOConfig(PPOConfig):
+    # AC-PPO defaults (ac_ppo_continuous_action.cpp:60-76)
+    learning_rate: float = 2.5e-4
+    num_envs: int = 8
+    num_steps: int = 128
+    num_minibatches: int = 4
+    update_epochs: int = 4
+    clip_coef: float = 0.1
+    ent_coef: float = 0.01
+    agent: str = "beta"
+    pipelined: bool = True
+    estimate_mean_std: bool = False
+
+
+def train(cfg: ACPPOConfig, verbose: bool = True):
+    run_name = f"{cfg.env_id}__{cfg.exp_name}__{cfg.seed}__{int(time.time())}"
+    folder = os.path.join(cfg.exp_folder, run_name)
+    writer = SummaryWriter(folder)
+    writer.add_text("hyperparameters", cfg.to_markdown())
+    with open(os.path.join(folder, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    env = make_env(cfg.env_id, dtype=jnp.float32, solver_iterations=cfg.solver_iterations)
+    venv = VectorEnv(env, cfg.num_envs, clip_actions=True)  # normalization baked into model
+    model = build_model(cfg, env)
+    optimizer = ppo.make_optimizer(cfg)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    key, k_env, k_model = jax.random.split(key, 3)
+    env_state, obs = venv.reset(k_env)
+    params = model.init_params(k_model, venv.obs_dim, dtype=venv.dtype)
+    opt_state = optimizer.init(params)
+
+    if cfg.estimate_mean_std:
+        mean, std = ac_ppo.estimate_mean_std(cfg, venv, model, params, key)
+        np.set_printoptions(precision=4, suppress=True, linewidth=200)
+        print("observation_mean =", np.array2string(mean, separator=", "))
+        print("observation_std  =", np.array2string(std, separator=", "))
+        return None, None
+
+    collect = jax.jit(ac_ppo.make_collect_fn(cfg, venv, model))
+    update = jax.jit(ac_ppo.make_update_fn(cfg, model, optimizer), donate_argnums=(0, 1))
+
+    done = jnp.zeros(venv.num_envs, bool)
+    pending = None  # rollout awaiting its update (pipelined mode)
+    global_step = 0
+    start = time.time()
+    windowed: list[float] = []     # best-model tracking (ac_ppo_carla.cpp:456-474)
+    best_score = -np.inf
+
+    for iteration in range(1, cfg.num_iterations + 1):
+        key, k_up = jax.random.split(key)
+        # dispatch collection with the CURRENT policy snapshot
+        env_state, obs, done, key, rollout = collect(params, env_state, obs, done, key)
+        if cfg.pipelined:
+            # update consumes the PREVIOUS rollout -> XLA may overlap it with
+            # the in-flight collection (policy one iteration stale, like AC-PPO)
+            if pending is not None:
+                params, opt_state, stats = update(params, opt_state, pending, k_up)
+            else:
+                stats = None
+            pending = rollout
+        else:
+            params, opt_state, stats = update(params, opt_state, rollout, k_up)
+
+        global_step += cfg.batch_size
+        infos = jax.device_get(rollout.infos)
+        d = infos["done"]
+        if d.any():
+            rets = infos["episode_return"][d]
+            for r in rets[-8:]:
+                writer.add_scalar("charts/episodic_return", float(r), global_step)
+            windowed.extend(rets.tolist())
+            windowed = windowed[-100:]
+            avg = float(np.mean(windowed))
+            writer.add_scalar("charts/windowed_avg_return", avg, global_step)
+            if len(windowed) >= 10 and avg > best_score:
+                best_score = avg
+                ckpt.save_best({"params": params}, folder)
+        if stats is not None:
+            s = jax.device_get(stats)
+            writer.add_scalar("losses/value_loss", float(s.value_loss), global_step)
+            writer.add_scalar("losses/policy_loss", float(s.policy_loss), global_step)
+            writer.add_scalar("losses/entropy", float(s.entropy), global_step)
+            writer.add_scalar("losses/approx_kl", float(s.approx_kl), global_step)
+            writer.add_scalar("losses/clipfrac", float(s.clipfrac), global_step)
+        sps = int(global_step / (time.time() - start))
+        writer.add_scalar("charts/SPS", sps, global_step)
+        if verbose:
+            print(f"iter {iteration}/{cfg.num_iterations} SPS {sps}")
+        if cfg.checkpoint_every and iteration % cfg.checkpoint_every == 0:
+            ckpt.save_state({"params": params, "opt_state": opt_state}, folder, iteration)
+
+    # drain the pipeline
+    if cfg.pipelined and pending is not None:
+        key, k_up = jax.random.split(key)
+        params, opt_state, _ = update(params, opt_state, pending, k_up)
+
+    ckpt.save_final({"params": params, "opt_state": opt_state}, folder)
+
+    # final eval with deterministic actions (sample_type="mean", ac_ppo...cpp:965-1001)
+    eval_cfg = dataclasses.replace(cfg, sample_type="mean" if cfg.agent == "beta" else "sample")
+    returns = ppo.evaluate(eval_cfg, venv, model, params, jax.random.PRNGKey(cfg.eval_seed))
+    if len(returns):
+        writer.add_scalar("eval/avg_return", float(np.mean(returns)), 0)
+        if verbose:
+            print(f"eval avg return: {np.mean(returns):.2f}")
+    writer.close()
+    return params, returns
+
+
+def main(argv=None):
+    cfg = parse_config(argv, cls=ACPPOConfig)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -38,12 +38,13 @@ def contact_state(mj, seed, drop):
 
 @pytest.mark.parametrize("xml", XMLS)
 @pytest.mark.parametrize("seed,drop", [(0, 0.15), (1, 0.0), (2, 0.3)])
-def test_qacc_matches_mujoco(xml, seed, drop):
+@pytest.mark.parametrize("solver_type,iters", [("newton", 30), ("pgs", 500)])
+def test_qacc_matches_mujoco(xml, seed, drop, solver_type, iters):
     m, mj = load_pair(xml)
     d = contact_state(mj, seed, drop)
     fwd = forward.forward(
         m, jnp.asarray(d.qpos), jnp.asarray(d.qvel), jnp.asarray(d.ctrl),
-        iterations=500,
+        iterations=iters, solver_type=solver_type,
     )
     np.testing.assert_allclose(np.asarray(fwd.qacc_smooth), d.qacc_smooth, atol=1e-6)
     # active row count parity
@@ -60,7 +61,7 @@ def test_efc_rows_match_mujoco(xml):
     d = contact_state(mj, 0, 0.15)
     fwd = forward.forward(
         m, jnp.asarray(d.qpos), jnp.asarray(d.qvel), jnp.asarray(d.ctrl),
-        iterations=100,
+        iterations=100, solver_type="pgs",
     )
     act = np.asarray(fwd.efc.active)
     ours = np.stack(

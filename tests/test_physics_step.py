@@ -23,7 +23,7 @@ def load_pair(xml):
     return m, mj
 
 
-def run_both(xml, n_steps, seed=0, iterations=200):
+def run_both(xml, n_steps, seed=0, iterations=15):
     m, mj = load_pair(xml)
     rng = np.random.default_rng(seed)
     d = mujoco.MjData(mj)
