@@ -143,3 +143,64 @@ class VectorEnv:
             rew_norm=rew_norm,
         )
         return next_state, obs, rew, term, trunc, infos
+
+
+@struct.dataclass
+class DictVectorState:
+    env: Any
+    autoreset: jax.Array
+    ep_return: jax.Array
+    ep_length: jax.Array
+
+
+class DictVectorEnv:
+    """Vectorized autoreset + episode stats for dict-observation envs
+    (the SeqVectorEnvCarla analogue, gym.h:167-272; no normalization wrappers —
+    the CARLA pipeline bakes statistics into the model instead)."""
+
+    def __init__(self, env, num_envs: int, clip_actions: bool = True):
+        self.env = env
+        self.num_envs = num_envs
+        self.clip_actions = clip_actions
+        self.dtype = env.dtype
+
+    def reset(self, key):
+        keys = jax.random.split(key, self.num_envs)
+        env_state, obs = jax.vmap(self.env.reset)(keys)
+        state = DictVectorState(
+            env=env_state,
+            autoreset=jnp.zeros(self.num_envs, bool),
+            ep_return=jnp.zeros(self.num_envs, self.dtype),
+            ep_length=jnp.zeros(self.num_envs, jnp.int32),
+        )
+        return state, obs
+
+    def step(self, state: DictVectorState, actions):
+        if self.clip_actions:
+            actions = jnp.clip(actions, self.env.action_low, self.env.action_high)
+        new_env, obs_s, rew_s, term_s, trunc_s = jax.vmap(self.env.step)(state.env, actions)
+        reset_keys = jax.vmap(lambda k: jax.random.split(k)[1])(state.env.key)
+        reset_env, obs_r = jax.vmap(self.env.reset)(reset_keys)
+
+        ar = state.autoreset
+
+        def sel(a, b):
+            m = ar.reshape((self.num_envs,) + (1,) * (a.ndim - 1))
+            return jnp.where(m, a, b)
+
+        env_state = jax.tree.map(sel, reset_env, new_env)
+        obs = jax.tree.map(sel, obs_r, obs_s)
+        rew = jnp.where(ar, 0.0, rew_s).astype(self.dtype)
+        term = jnp.where(ar, False, term_s)
+        trunc = jnp.where(ar, False, trunc_s)
+        done = term | trunc
+
+        ep_return = jnp.where(ar, 0.0, state.ep_return) + rew
+        ep_length = jnp.where(ar, 0, state.ep_length) + jnp.where(ar, 0, 1)
+        infos = {"episode_return": ep_return, "episode_length": ep_length, "done": done}
+        next_state = DictVectorState(
+            env=env_state, autoreset=done,
+            ep_return=jnp.where(done, 0.0, ep_return).astype(self.dtype),
+            ep_length=jnp.where(done, 0, ep_length),
+        )
+        return next_state, obs, rew, term, trunc, infos

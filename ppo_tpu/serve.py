@@ -1,0 +1,159 @@
+"""Model inference server — the `ppo_carla_inference` analogue.
+
+Loads EVERY `state*.msgpack` checkpoint in a folder as an ensemble
+(ppo_carla_inference.cpp:95-115), serves a socket loop that receives dict
+observations and returns the ensemble-mean action / value / alpha / beta
+(ppo_carla_inference.cpp:163-179). The requested sample type (deterministic
+"mean"/"roach" or stochastic "sample") is sent by the client at handshake
+(ppo_carla_inference.cpp:88-90). Unlike the reference's TODO ("parallelize
+ensemble"), members are evaluated in ONE batched vmap'd forward.
+
+Protocol (length-prefixed multipart over a unix or TCP socket):
+  frame   := uint32 n_parts, then per part: uint64 nbytes + raw bytes
+  request := [bev u8 raw, measurements f32 raw, value_measurements f32 raw]
+  reply   := [action f32, value f32, alpha f32, beta f32]
+  empty request (n_parts == 0) => shutdown (the keepalive/route-finished check,
+  ppo_carla_inference.cpp:134-143).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import socket
+import struct
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppo_tpu.config import PPOConfig
+from ppo_tpu.envs.synthetic_driving import SyntheticDriving
+from ppo_tpu.models import RoachCNNActorCritic
+from ppo_tpu.utils import checkpoint as ckpt
+
+
+# ---- framing --------------------------------------------------------------
+
+def send_parts(sock, parts):
+    sock.sendall(struct.pack("<I", len(parts)))
+    for p in parts:
+        b = np.asarray(p).tobytes()
+        sock.sendall(struct.pack("<Q", len(b)))
+        sock.sendall(b)
+
+
+def recv_exact(sock, n):
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed")
+        buf += chunk
+    return buf
+
+
+def recv_parts(sock):
+    (n,) = struct.unpack("<I", recv_exact(sock, 4))
+    parts = []
+    for _ in range(n):
+        (ln,) = struct.unpack("<Q", recv_exact(sock, 8))
+        parts.append(recv_exact(sock, ln))
+    return parts
+
+
+# ---- ensemble -------------------------------------------------------------
+
+class EnsemblePolicy:
+    def __init__(self, folder: str, sample_type: str = "mean"):
+        env = SyntheticDriving()
+        self.env = env
+        self.model = RoachCNNActorCritic(act_dim=env.act_dim)
+        template = self.model.init_params(
+            jax.random.PRNGKey(0), env.obs_shape, env.n_measurements, env.n_value_measurements
+        )
+        paths = sorted(glob.glob(os.path.join(folder, "state*.msgpack")))
+        if not paths:
+            raise FileNotFoundError(f"no state*.msgpack checkpoints in {folder}")
+        members = []
+        for p in paths:
+            restored = ckpt.restore_state(p, {"params": template})
+            members.append(restored["params"])
+        # stack members -> one batched forward over the ensemble axis
+        self.params = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+        self.n_members = len(members)
+        self.sample_type = sample_type
+
+        def infer(params, bev, meas, vmeas, key):
+            def one(p, k):
+                return self.model.get_action_and_value(
+                    p, bev, meas, vmeas, key=k, sample_type=sample_type
+                )
+
+            keys = jax.random.split(key, self.n_members)
+            action, _, _, value, alpha, beta = jax.vmap(one)(params, keys)
+            return (
+                jnp.mean(action, 0), jnp.mean(value, 0),
+                jnp.mean(alpha, 0), jnp.mean(beta, 0),
+            )
+
+        self._infer = jax.jit(infer)
+        self._key = jax.random.PRNGKey(0)
+
+    def __call__(self, bev, measurements, value_measurements):
+        self._key, k = jax.random.split(self._key)
+        a, v, al, be = self._infer(
+            self.params, jnp.asarray(bev), jnp.asarray(measurements),
+            jnp.asarray(value_measurements), k,
+        )
+        return np.asarray(a), np.asarray(v), np.asarray(al), np.asarray(be)
+
+
+def serve(folder: str, address, once: bool = False):
+    env = SyntheticDriving()
+    if isinstance(address, str):
+        sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        if os.path.exists(address):
+            os.unlink(address)
+    else:
+        sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    sock.bind(address)
+    sock.listen(1)
+    conn, _ = sock.accept()
+    # handshake: sample type from the eval agent (ppo_carla_inference.cpp:88-90)
+    sample_type = recv_parts(conn)[0].decode()
+    policy = EnsemblePolicy(folder, sample_type)
+    H, W, C = env.obs_shape
+    while True:
+        parts = recv_parts(conn)
+        if not parts:
+            break
+        bev = np.frombuffer(parts[0], np.uint8).reshape(-1, H, W, C)
+        meas = np.frombuffer(parts[1], np.float32).reshape(-1, env.n_measurements)
+        vmeas = np.frombuffer(parts[2], np.float32).reshape(-1, env.n_value_measurements)
+        a, v, al, be = policy(bev, meas, vmeas)
+        send_parts(conn, [a.astype(np.float32), v.astype(np.float32),
+                          al.astype(np.float32), be.astype(np.float32)])
+        if once:
+            break
+    conn.close()
+    sock.close()
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--path_to_conf_file", type=str, default="")
+    p.add_argument("--folder", type=str, required=True)
+    p.add_argument("--ipc_path", type=str, default="/tmp")
+    p.add_argument("--port", type=int, default=0)
+    args = p.parse_args(argv)
+    if args.port:
+        serve(args.folder, ("127.0.0.1", args.port))
+    else:
+        serve(args.folder, os.path.join(args.ipc_path, "ppo_tpu_serve.sock"))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,198 @@
+"""CNN-policy PPO on the synthetic driving env — the `ac_ppo_carla` analogue.
+
+Dict-observation rollout storage including uint8 image buffers
+(ac_ppo_carla.cpp:284-301), Roach CNN Beta agent, checkpoint-resume with
+restart markers (ac_ppo_carla.cpp:226-255), best-model tracking on the
+windowed-100 average return (ac_ppo_carla.cpp:456-474), JSON config saved
+alongside checkpoints (ac_ppo_carla.cpp:62-73).
+
+Run: python -m ppo_tpu.train_cnn --total_timesteps 65536
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ppo_tpu.algos import ppo
+from ppo_tpu.config import PPOConfig, parse_config
+from ppo_tpu.envs.synthetic_driving import SyntheticDriving
+from ppo_tpu.envs.vector import DictVectorEnv
+from ppo_tpu.models import RoachCNNActorCritic
+from ppo_tpu.ops.gae import compute_gae
+from ppo_tpu.ops.ppo_loss import normalize_advantages, ppo_losses
+from ppo_tpu.utils import checkpoint as ckpt
+from ppo_tpu.utils.tb import SummaryWriter
+
+
+@dataclasses.dataclass
+class CNNConfig(PPOConfig):
+    env_id: str = "SyntheticDriving-v0"
+    learning_rate: float = 2.5e-4
+    num_envs: int = 16
+    num_steps: int = 128
+    num_minibatches: int = 4
+    update_epochs: int = 4
+    clip_coef: float = 0.1
+    ent_coef: float = 0.01
+    agent: str = "cnn_beta"
+    image_encoder: str = "roach_ln"
+    beta_min_a_b_value: float = 1.0
+    resume: bool = False
+
+
+def make_fns(cfg: CNNConfig, venv: DictVectorEnv, model, optimizer):
+    def collect(params, env_state, obs, done, key):
+        def step(carry, _):
+            env_state, obs, done, key = carry
+            key, k = jax.random.split(key)
+            action, logprob, _, value, _, _ = model.get_action_and_value(
+                params, obs["bev_semantics"], obs["measurements"], obs["value_measurements"], k
+            )
+            env_state, next_obs, reward, term, trunc, infos = venv.step(env_state, action)
+            return (env_state, next_obs, term | trunc, key), (obs, done, action, logprob, value, reward, infos)
+
+        (env_state, next_obs, next_done, key), tr = jax.lax.scan(
+            step, (env_state, obs, done, key), None, length=cfg.num_steps
+        )
+        return env_state, next_obs, next_done, key, tr
+
+    def update(params, opt_state, tr, next_obs, next_done, key):
+        obs, dones, actions, logprobs, values, rewards, _ = tr
+        next_value = model.apply(
+            params, next_obs["bev_semantics"], next_obs["measurements"], next_obs["value_measurements"]
+        )[2]
+        advantages, returns = compute_gae(
+            rewards, values, dones, next_value, next_done.astype(values.dtype),
+            cfg.gamma, cfg.gae_lambda,
+        )
+        B = cfg.num_steps * cfg.num_envs
+        flat_obs = jax.tree.map(lambda x: x.reshape((B,) + x.shape[2:]), obs)
+        b_actions = actions.reshape(B, -1)
+        b_logprobs = logprobs.reshape(B)
+        b_adv = advantages.reshape(B)
+        b_ret = returns.reshape(B)
+        b_val = values.reshape(B)
+        mb = B // cfg.num_minibatches
+
+        def update_mb(carry, inds):
+            params, opt_state = carry
+
+            def loss_fn(p):
+                _, newlogprob, entropy, newvalue, _, _ = model.get_action_and_value(
+                    p,
+                    flat_obs["bev_semantics"][inds],
+                    flat_obs["measurements"][inds],
+                    flat_obs["value_measurements"][inds],
+                    action=b_actions[inds],
+                )
+                adv = normalize_advantages(b_adv[inds]) if cfg.norm_adv else b_adv[inds]
+                stats = ppo_losses(
+                    newlogprob, b_logprobs[inds], entropy, newvalue, b_val[inds],
+                    adv, b_ret[inds], cfg.clip_coef, cfg.ent_coef, cfg.vf_coef, cfg.clip_vloss,
+                )
+                return stats.total_loss, stats
+
+            grads, stats = jax.grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), stats
+
+        def epoch(carry, k):
+            inds = jax.random.permutation(k, B).reshape(cfg.num_minibatches, mb)
+            return jax.lax.scan(update_mb, carry, inds)
+
+        (params, opt_state), stats = jax.lax.scan(
+            epoch, (params, opt_state), jax.random.split(key, cfg.update_epochs)
+        )
+        return params, opt_state, jax.tree.map(lambda x: x[-1, -1], stats)
+
+    return jax.jit(collect), jax.jit(update, donate_argnums=(0, 1))
+
+
+def train(cfg: CNNConfig, verbose: bool = True):
+    run_name = f"{cfg.env_id}__{cfg.exp_name}__{cfg.seed}__{int(time.time())}"
+    folder = os.path.join(cfg.exp_folder, run_name)
+    writer = SummaryWriter(folder)
+    writer.add_text("hyperparameters", cfg.to_markdown())
+    with open(os.path.join(folder, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    env = SyntheticDriving(dtype=jnp.float32)
+    venv = DictVectorEnv(env, cfg.num_envs)
+    model = RoachCNNActorCritic(
+        act_dim=env.act_dim, image_encoder=cfg.image_encoder,
+        beta_min_a_b_value=cfg.beta_min_a_b_value,
+    )
+    optimizer = ppo.make_optimizer(cfg)
+
+    key = jax.random.PRNGKey(cfg.seed)
+    key, k_env, k_model = jax.random.split(key, 3)
+    env_state, obs = venv.reset(k_env)
+    params = model.init_params(
+        k_model, env.obs_shape, env.n_measurements, env.n_value_measurements
+    )
+    opt_state = optimizer.init(params)
+    start_iter = 1
+
+    if cfg.resume:
+        path, it = ckpt.latest_checkpoint(os.path.join(cfg.exp_folder, "latest"))
+        if path is not None:
+            restored = ckpt.restore_state(path, {"params": params, "opt_state": opt_state})
+            params, opt_state = restored["params"], restored["opt_state"]
+            start_iter = it + 1
+            writer.add_scalar("charts/restart", 1.0, it)  # restart marker
+
+    collect, update = make_fns(cfg, venv, model, optimizer)
+    done = jnp.zeros(cfg.num_envs, bool)
+    global_step = (start_iter - 1) * cfg.batch_size
+    start = time.time()
+    windowed: list[float] = []
+    best = -np.inf
+
+    for iteration in range(start_iter, cfg.num_iterations + 1):
+        key, k_up = jax.random.split(key)
+        env_state, obs, done, key, tr = collect(params, env_state, obs, done, key)
+        params, opt_state, stats = update(params, opt_state, tr, obs, done, k_up)
+        global_step += cfg.batch_size
+
+        infos = jax.device_get(tr[-1])
+        d = infos["done"]
+        if d.any():
+            rets = infos["episode_return"][d]
+            for r in rets[-8:]:
+                writer.add_scalar("charts/episodic_return", float(r), global_step)
+            windowed.extend(rets.tolist())
+            windowed = windowed[-100:]
+            avg = float(np.mean(windowed))
+            writer.add_scalar("charts/windowed_avg_return", avg, global_step)
+            if len(windowed) >= 10 and avg > best:
+                best = avg
+                ckpt.save_best({"params": params}, folder)
+        s = jax.device_get(stats)
+        writer.add_scalar("losses/value_loss", float(s.value_loss), global_step)
+        writer.add_scalar("losses/policy_loss", float(s.policy_loss), global_step)
+        writer.add_scalar("losses/entropy", float(s.entropy), global_step)
+        sps = int((global_step - (start_iter - 1) * cfg.batch_size) / (time.time() - start))
+        writer.add_scalar("charts/SPS", sps, global_step)
+        if verbose:
+            print(f"iter {iteration}/{cfg.num_iterations} SPS {sps}")
+        if cfg.checkpoint_every and iteration % cfg.checkpoint_every == 0:
+            ckpt.save_state({"params": params, "opt_state": opt_state}, folder, iteration)
+
+    ckpt.save_final({"params": params, "opt_state": opt_state}, folder)
+    writer.close()
+    return params
+
+
+def main(argv=None):
+    train(parse_config(argv, cls=CNNConfig))
+
+
+if __name__ == "__main__":
+    main()
