@@ -25,17 +25,20 @@ def bench(num_envs=4096, steps=50, solver_iterations=8, warmup=3):
     env = make_env("HalfCheetah-v5", dtype=jnp.float32, solver_iterations=solver_iterations)
     model = GaussianActorCritic(act_dim=env.act_dim)
     params = model.init_params(jax.random.PRNGKey(1), env.obs_dim)
+    consts = env.consts  # device-resident model arrays, passed as arguments
 
     keys = jax.random.split(jax.random.PRNGKey(0), num_envs)
-    state, obs = jax.vmap(env.reset)(keys)
+    state, obs = jax.vmap(env.reset, in_axes=(0, None))(keys, consts)
 
     @jax.jit
-    def loop(params, state, obs, key):
+    def loop(params, state, obs, key, consts):
         def body(carry, _):
             state, obs, key = carry
             key, k = jax.random.split(key)
             action, _, _, _ = model.get_action_and_value(params, obs, k)
-            state, obs, reward, term, trunc = jax.vmap(env.step)(state, action)
+            state, obs, reward, term, trunc = jax.vmap(
+                env.step, in_axes=(0, 0, None)
+            )(state, action, consts)
             return (state, obs, key), jnp.sum(reward)
 
         (state, obs, key), rs = jax.lax.scan(body, (state, obs, key), None, length=steps)
@@ -43,14 +46,14 @@ def bench(num_envs=4096, steps=50, solver_iterations=8, warmup=3):
 
     key = jax.random.PRNGKey(2)
     # compile + warmup
-    state, obs, key, _ = jax.block_until_ready(loop(params, state, obs, key))
+    state, obs, key, _ = jax.block_until_ready(loop(params, state, obs, key, consts))
     for _ in range(warmup - 1):
-        state, obs, key, _ = jax.block_until_ready(loop(params, state, obs, key))
+        state, obs, key, _ = jax.block_until_ready(loop(params, state, obs, key, consts))
 
     t0 = time.perf_counter()
     n_rep = 3
     for _ in range(n_rep):
-        state, obs, key, _ = jax.block_until_ready(loop(params, state, obs, key))
+        state, obs, key, _ = jax.block_until_ready(loop(params, state, obs, key, consts))
     dt = time.perf_counter() - t0
     env_steps = num_envs * steps * n_rep
     return env_steps / dt

@@ -28,6 +28,7 @@ import numpy as np
 from flax import struct
 
 from ppo_tpu.physics import collision, forward, smooth
+from ppo_tpu.physics import consts as pconsts
 from ppo_tpu.physics.model import Model, gym_asset_path, load_model
 
 
@@ -66,76 +67,90 @@ class MujocoEnv:
         self.iterations = solver_iterations or default_iters
         self.dt = self.model.opt.timestep * self.frame_skip
         self.nq, self.nv, self.nu = self.model.nq, self.model.nv, self.model.nu
+        # device-resident constants: passed through jit boundaries as arguments
+        # so compiled programs embed no array literals (see physics/consts.py)
+        self.consts = pconsts.extract(self.model, self.ctx, self.dtype)
+
+    def _inject(self, consts):
+        if consts is None:
+            return self.model, self.ctx
+        return pconsts.inject(self.model, self.ctx, consts)
 
     # -- physics ----------------------------------------------------------
-    def _substeps(self, qpos, qvel, ctrl):
+    def _substeps(self, m, ctx, qpos, qvel, ctrl):
         # first frame_skip-1 substeps under scan (one step body in the graph),
         # final substep unrolled so its ForwardOut feeds obs/reward staleness
         if self.frame_skip > 1:
             def body(carry, _):
                 qp, qv = carry
-                qp2, qv2, _ = forward.step(self.model, self.ctx, qp, qv, ctrl, self.iterations, self.solver_type)
+                qp2, qv2, _ = forward.step(m, ctx, qp, qv, ctrl, self.iterations, self.solver_type)
                 return (qp2, qv2), None
 
             (qpos, qvel), _ = jax.lax.scan(
                 body, (qpos, qvel), None, length=self.frame_skip - 1
             )
         qpos, qvel, last_fwd = forward.step(
-            self.model, self.ctx, qpos, qvel, ctrl, self.iterations, self.solver_type
+            m, ctx, qpos, qvel, ctrl, self.iterations, self.solver_type
         )
         extras = StepExtras(
             fwd=last_fwd,
             cfrc_ext=(
-                forward.rne_post_constraint(self.model, last_fwd.com, last_fwd.vel, last_fwd)
+                forward.rne_post_constraint(m, last_fwd.com, last_fwd.vel, last_fwd)
                 if self.needs_cfrc else None
             ),
             ctrl=ctrl,
         )
         return qpos, qvel, extras
 
-    def _forward_only(self, qpos, qvel):
+    def _forward_only(self, qpos, qvel, consts=None):
         """mj_forward after reset (fills kinematic observables)."""
+        m, ctx = self._inject(consts)
         return forward.forward(
-            self.model, qpos, qvel, jnp.zeros(self.nu, self.dtype),
-            self.ctx, self.iterations, self.solver_type,
+            m, qpos, qvel, jnp.zeros(self.nu, self.dtype),
+            ctx, self.iterations, self.solver_type,
         )
 
     # -- common reset -----------------------------------------------------
-    def reset(self, key):
+    def reset(self, key, consts=None):
+        m, ctx = self._inject(consts)
         key, sub = jax.random.split(key)
-        qpos, qvel = self._reset_noise(sub)
-        fwd = self._forward_only(qpos, qvel)
+        qpos, qvel = self._reset_noise(m, sub)
+        fwd = forward.forward(
+            m, qpos, qvel, jnp.zeros(self.nu, self.dtype),
+            ctx, self.iterations, self.solver_type,
+        )
         state = EnvState(
             qpos=qpos, qvel=qvel, t=jnp.zeros((), jnp.int32), key=key,
-            x_before=self._x_metric(qpos, fwd),
+            x_before=self._x_metric(m, qpos, fwd),
         )
         extras = StepExtras(
-            fwd=fwd, cfrc_ext=self._reset_cfrc(fwd), ctrl=jnp.zeros(self.nu, self.dtype)
+            fwd=fwd, cfrc_ext=self._reset_cfrc(m, fwd), ctrl=jnp.zeros(self.nu, self.dtype)
         )
-        return state, self._obs(qpos, qvel, extras)
+        return state, self._obs(m, qpos, qvel, extras)
 
-    def _reset_cfrc(self, fwd):
+    def _reset_cfrc(self, m, fwd):
         if not self.needs_cfrc:
             return None
-        return forward.rne_post_constraint(self.model, fwd.com, fwd.vel, fwd)
+        return forward.rne_post_constraint(m, fwd.com, fwd.vel, fwd)
 
-    def _x_metric(self, qpos, fwd):
+    def _x_metric(self, m, qpos, fwd):
         return qpos[0]
 
     # -- common step ------------------------------------------------------
-    def step(self, state: EnvState, action):
+    def step(self, state: EnvState, action, consts=None):
+        m, ctx = self._inject(consts)
         ctrl = jnp.clip(
             action.astype(self.dtype),
-            jnp.asarray(self.model.actuator_ctrlrange[:, 0], self.dtype),
-            jnp.asarray(self.model.actuator_ctrlrange[:, 1], self.dtype),
+            jnp.asarray(m.actuator_ctrlrange[:, 0], self.dtype),
+            jnp.asarray(m.actuator_ctrlrange[:, 1], self.dtype),
         )
-        qpos, qvel, extras = self._substeps(state.qpos, state.qvel, ctrl)
-        x_after = self._x_metric(qpos, extras.fwd)
+        qpos, qvel, extras = self._substeps(m, ctx, state.qpos, state.qvel, ctrl)
+        x_after = self._x_metric(m, qpos, extras.fwd)
         x_velocity = (x_after - state.x_before) / self.dt
         reward, terminated = self._reward_done(qpos, qvel, ctrl, x_velocity, extras)
         t = state.t + 1
         truncated = t >= self.max_episode_steps
-        obs = self._obs(qpos, qvel, extras)
+        obs = self._obs(m, qpos, qvel, extras)
         new_state = EnvState(qpos=qpos, qvel=qvel, t=t, key=state.key, x_before=x_after)
         return new_state, obs, reward, terminated, truncated
 
@@ -147,15 +162,15 @@ class HalfCheetah(MujocoEnv):
     frame_skip = 5
     obs_dim, act_dim = 17, 6
 
-    def _reset_noise(self, key):
+    def _reset_noise(self, m, key):
         k1, k2 = jax.random.split(key)
-        qpos = jnp.asarray(self.model.qpos0, self.dtype) + jax.random.uniform(
+        qpos = jnp.asarray(m.qpos0, self.dtype) + jax.random.uniform(
             k1, (self.nq,), self.dtype, -0.1, 0.1
         )
         qvel = 0.1 * jax.random.normal(k2, (self.nv,), self.dtype)
         return qpos, qvel
 
-    def _obs(self, qpos, qvel, extras):
+    def _obs(self, m, qpos, qvel, extras):
         return jnp.concatenate([qpos[1:], qvel])
 
     def _reward_done(self, qpos, qvel, ctrl, x_velocity, extras):
@@ -170,15 +185,15 @@ class Hopper(MujocoEnv):
     frame_skip = 4
     obs_dim, act_dim = 11, 3
 
-    def _reset_noise(self, key):
+    def _reset_noise(self, m, key):
         k1, k2 = jax.random.split(key)
-        qpos = jnp.asarray(self.model.qpos0, self.dtype) + jax.random.uniform(
+        qpos = jnp.asarray(m.qpos0, self.dtype) + jax.random.uniform(
             k1, (self.nq,), self.dtype, -5e-3, 5e-3
         )
         qvel = jax.random.uniform(k2, (self.nv,), self.dtype, -5e-3, 5e-3)
         return qpos, qvel
 
-    def _obs(self, qpos, qvel, extras):
+    def _obs(self, m, qpos, qvel, extras):
         return jnp.concatenate([qpos[1:], jnp.clip(qvel, -10.0, 10.0)])
 
     def _healthy(self, qpos, qvel):
@@ -203,18 +218,18 @@ class Ant(MujocoEnv):
     obs_dim, act_dim = 105, 8
     needs_cfrc = True
 
-    def _reset_noise(self, key):
+    def _reset_noise(self, m, key):
         k1, k2 = jax.random.split(key)
-        qpos = jnp.asarray(self.model.qpos0, self.dtype) + jax.random.uniform(
+        qpos = jnp.asarray(m.qpos0, self.dtype) + jax.random.uniform(
             k1, (self.nq,), self.dtype, -0.1, 0.1
         )
         qvel = 0.1 * jax.random.normal(k2, (self.nv,), self.dtype)
         return qpos, qvel
 
-    def _x_metric(self, qpos, fwd):
+    def _x_metric(self, m, qpos, fwd):
         return fwd.kin.xpos[1][0]  # torso body x (stale read, gymnasium parity)
 
-    def _obs(self, qpos, qvel, extras):
+    def _obs(self, m, qpos, qvel, extras):
         cfrc = jnp.clip(extras.cfrc_ext[1:], -1.0, 1.0).reshape(-1)
         return jnp.concatenate([qpos[2:], qvel, cfrc])
 
@@ -243,17 +258,17 @@ class Humanoid(MujocoEnv):
     action_low, action_high = -0.4, 0.4
     needs_cfrc = True
 
-    def _reset_noise(self, key):
+    def _reset_noise(self, m, key):
         k1, k2 = jax.random.split(key)
-        qpos = jnp.asarray(self.model.qpos0, self.dtype) + jax.random.uniform(
+        qpos = jnp.asarray(m.qpos0, self.dtype) + jax.random.uniform(
             k1, (self.nq,), self.dtype, -1e-2, 1e-2
         )
         qvel = jax.random.uniform(k2, (self.nv,), self.dtype, -1e-2, 1e-2)
         return qpos, qvel
 
-    def _x_metric(self, qpos, fwd):
+    def _x_metric(self, m, qpos, fwd):
         # mass center of the robot (gymnasium mass_center): stale xipos read
-        mass = jnp.asarray(self.model.body_mass, self.dtype)
+        mass = jnp.asarray(m.body_mass, self.dtype)
         return jnp.sum(mass[:, None] * fwd.kin.xipos, axis=0)[0] / jnp.sum(mass)
 
     def _cinert_packed(self, fwd):
@@ -267,9 +282,9 @@ class Humanoid(MujocoEnv):
         mass = ci[:, 3, 3:4]
         return jnp.concatenate([inert, mc, mass], -1)  # [nbody, 10]
 
-    def _obs(self, qpos, qvel, extras):
+    def _obs(self, m, qpos, qvel, extras):
         fwd = extras.fwd
-        qfrc_actuator = smooth.actuator_forces(self.model, extras.ctrl)
+        qfrc_actuator = smooth.actuator_forces(m, extras.ctrl)
         return jnp.concatenate([
             qpos[2:],
             qvel,

@@ -35,6 +35,7 @@ class VectorState:
     ep_length: jax.Array                # [N] int32
     obs_rms: Any                        # RunningMeanStd [N, obs] or None
     rew_norm: Any                       # RewardNormState [N] or None
+    consts: Any = None                  # device-resident model constants (unbatched)
 
 
 class VectorEnv:
@@ -63,7 +64,8 @@ class VectorEnv:
 
     def reset(self, key: jax.Array):
         keys = jax.random.split(key, self.num_envs)
-        env_state, obs = jax.vmap(self.env.reset)(keys)
+        consts = self.env.consts
+        env_state, obs = jax.vmap(self.env.reset, in_axes=(0, None))(keys, consts)
         obs_rms = None
         if self.normalize_obs:
             obs_rms = RunningMeanStd.create((self.num_envs, self.obs_dim), dtype=self.dtype)
@@ -81,6 +83,7 @@ class VectorEnv:
             ep_length=jnp.zeros(self.num_envs, jnp.int32),
             obs_rms=obs_rms,
             rew_norm=rew_norm,
+            consts=consts,
         )
         return state, obs
 
@@ -89,10 +92,12 @@ class VectorEnv:
             actions = jnp.clip(actions, self.env.action_low, self.env.action_high)
 
         # stepped branch
-        new_env, obs_s, rew_s, term_s, trunc_s = jax.vmap(self.env.step)(state.env, actions)
+        new_env, obs_s, rew_s, term_s, trunc_s = jax.vmap(
+            self.env.step, in_axes=(0, 0, None)
+        )(state.env, actions, state.consts)
         # reset branch (autoreset rows): fresh keys derived per env
         reset_keys = jax.vmap(lambda k: jax.random.split(k)[1])(state.env.key)
-        reset_env, obs_r = jax.vmap(self.env.reset)(reset_keys)
+        reset_env, obs_r = jax.vmap(self.env.reset, in_axes=(0, None))(reset_keys, state.consts)
 
         ar = state.autoreset
         arf = ar.astype(self.dtype)
@@ -141,6 +146,7 @@ class VectorEnv:
             ep_length=ep_length_next,
             obs_rms=obs_rms,
             rew_norm=rew_norm,
+            consts=state.consts,
         )
         return next_state, obs, rew, term, trunc, infos
 

@@ -56,6 +56,11 @@ def _runner_specs(rs: ppo.RunnerState):
         return P(AXIS) if path_is_env else P()
 
     env_specs = jax.tree.map(lambda _: P(AXIS), rs.env)
+    # device-resident model constants inside VectorState are replicated
+    if getattr(rs.env, "consts", None) is not None:
+        env_specs = env_specs.replace(
+            consts=jax.tree.map(lambda _: P(), rs.env.consts)
+        )
     return ppo.RunnerState(
         params=jax.tree.map(lambda _: P(), rs.params),
         opt_state=jax.tree.map(lambda _: P(), rs.opt_state),

@@ -153,7 +153,7 @@ def make_frame(n):
     zt = jnp.stack([n[..., 1], -n[..., 0], jnp.zeros_like(n[..., 0])], -1)
     zt = zt / jnp.maximum(jnp.linalg.norm(zt, axis=-1, keepdims=True), 1e-30)
     t1_nd = jnp.cross(zt, n)
-    t1_d = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0], dtype), n.shape)
+    t1_d = jnp.zeros_like(n).at[..., 1].set(1.0)
     deg = degenerate[..., None]
     t1 = jnp.where(deg, t1_d, t1_nd)
     t2 = jnp.where(deg, jnp.cross(n, t1_d), zt)
@@ -166,7 +166,7 @@ def _plane_capsule_frame(n, axis):
     dtype = n.dtype
     vec = axis - n * jnp.sum(n * axis, -1, keepdims=True)
     norm = jnp.linalg.norm(vec, axis=-1, keepdims=True)
-    fallback = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], dtype), n.shape)
+    fallback = jnp.zeros_like(n).at[..., 0].set(1.0)
     t1 = jnp.where(norm < 1e-14, fallback, vec / jnp.maximum(norm, 1e-30))
     return jnp.stack([n, t1, jnp.cross(n, t1)], axis=-2)
 
@@ -175,14 +175,14 @@ def _sphere_sphere(p1, r1, p2, r2):
     """Vectorized: (dist, pos, normal geom1->geom2) for center/radius arrays."""
     d = p2 - p1
     L = jnp.linalg.norm(d, axis=-1, keepdims=True)
-    up = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0], d.dtype), d.shape)
+    up = jnp.zeros_like(d).at[..., 2].set(1.0)
     n = jnp.where(L < 1e-12, up, d / jnp.maximum(L, 1e-12))
     dist = L[..., 0] - (r1 + r2)
     pos = p1 + n * (r1 + 0.5 * dist)[..., None]
     return dist, pos, n
 
 
-def collide(m: Model, geom_xpos, geom_xmat, slots: ContactSlots | None = None) -> Contacts:
+def collide(m: Model, geom_xpos, geom_xmat, slots: ContactSlots | None = None, kind_masks: dict | None = None) -> Contacts:
     """Evaluate all contact slots vectorized per collider kind."""
     if slots is None:
         slots = contact_slots(m)
@@ -208,17 +208,24 @@ def collide(m: Model, geom_xpos, geom_xmat, slots: ContactSlots | None = None) -
     point = jnp.asarray(slots.point, dtype)
 
     # --- reduce every collider to a sphere-sphere test with per-kind centers.
-    is_plane = (kind == K_PLANE_SPHERE) | (kind == K_PLANE_CAPSULE)
+    if kind_masks is None:
+        kind_masks = {
+            "is_plane": (kind == K_PLANE_SPHERE) | (kind == K_PLANE_CAPSULE),
+            "is_pc": kind == K_PLANE_CAPSULE,
+            "is_sc": kind == K_SPHERE_CAPSULE,
+            "is_cc": kind == K_CAPSULE_CAPSULE,
+        }
+    is_plane = kind_masks["is_plane"]
 
     # geom2 center: capsule-end for plane-capsule, clamped segment point for
     # (sphere|capsule)-capsule, plain center otherwise
     c2 = p2
     c2 = jnp.where(
-        (kind == K_PLANE_CAPSULE)[:, None], p2 + (point * hl2)[:, None] * axis2, c2
+        kind_masks["is_pc"][:, None], p2 + (point * hl2)[:, None] * axis2, c2
     )
     # sphere-capsule: closest point on capsule 2's segment to sphere 1 center
     t_sc = jnp.clip(jnp.sum((p1 - p2) * axis2, -1), -hl2, hl2)
-    c2 = jnp.where((kind == K_SPHERE_CAPSULE)[:, None], p2 + t_sc[:, None] * axis2, c2)
+    c2 = jnp.where(kind_masks["is_sc"][:, None], p2 + t_sc[:, None] * axis2, c2)
 
     # capsule-capsule: segment-segment closest points (well-defined everywhere,
     # harmless for other kinds)
@@ -235,7 +242,7 @@ def collide(m: Model, geom_xpos, geom_xmat, slots: ContactSlots | None = None) -
     s_par = jnp.clip((bb * t_par - c) / jnp.maximum(a, 1e-12), -hl1, hl1)
     cc1 = p1 + s_par[:, None] * axis1
     cc2 = p2 + t_par[:, None] * axis2
-    is_cc = kind == K_CAPSULE_CAPSULE
+    is_cc = kind_masks["is_cc"]
     c1 = jnp.where(is_cc[:, None], cc1, p1)
     c2 = jnp.where(is_cc[:, None], cc2, c2)
 
@@ -253,7 +260,7 @@ def collide(m: Model, geom_xpos, geom_xmat, slots: ContactSlots | None = None) -
     n = jnp.where(is_plane[:, None], n_pl, n_ss)
 
     frame = jnp.where(
-        (kind == K_PLANE_CAPSULE)[:, None, None],
+        kind_masks["is_pc"][:, None, None],
         _plane_capsule_frame(n, axis2),
         make_frame(n),
     )

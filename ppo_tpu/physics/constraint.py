@@ -187,7 +187,10 @@ def make_efc(
         parts_imp.append(imp)
 
     if S:
-        origins = com.subtree_com[np.maximum(m.body_rootid[m.dof_bodyid], 0)]  # [nv,3]
+        dof_root = getattr(m, "dof_root_c", None)
+        if dof_root is None:
+            dof_root = np.maximum(m.body_rootid[m.dof_bodyid], 0)
+        origins = com.subtree_com[dof_root]  # [nv,3]
         # point jacobians for every slot: [S, nv, 3]
         jacp = com.cdof[None, :, 3:] + jnp.cross(
             com.cdof[None, :, :3], contacts.pos[:, None, :] - origins[None, :, :]

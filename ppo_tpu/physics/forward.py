@@ -24,18 +24,22 @@ from ppo_tpu.physics.types import EULER, FREE
 
 
 class StepContext(NamedTuple):
-    """Static per-model precomputation shared by every step."""
+    """Per-model precomputation shared by every step (array fields may be
+    swapped for traced device arrays via ppo_tpu.physics.consts.inject)."""
 
     slots: collision.ContactSlots
     mask: np.ndarray
     meta: constraint.EfcMeta
+    has_damping: bool = True
+    kind_masks: dict | None = None
 
 
 def make_context(m: Model) -> StepContext:
     slots = collision.contact_slots(m)
     mask = smooth.ancestor_mask(m)
     meta = constraint.make_efc_meta(m, slots, mask)
-    return StepContext(slots=slots, mask=mask, meta=meta)
+    return StepContext(slots=slots, mask=mask, meta=meta,
+                       has_damping=bool(np.any(m.dof_damping)))
 
 
 class ForwardOut(NamedTuple):
@@ -68,7 +72,7 @@ def forward(m: Model, qpos, qvel, ctrl, ctx: StepContext | None = None, iteratio
     Mchol = jax.scipy.linalg.cho_factor(M)
     qacc_smooth = jax.scipy.linalg.cho_solve(Mchol, qfrc_smooth)
 
-    contacts = collision.collide(m, kin.geom_xpos, kin.geom_xmat, ctx.slots)
+    contacts = collision.collide(m, kin.geom_xpos, kin.geom_xmat, ctx.slots, ctx.kind_masks)
     efc = constraint.make_efc(m, ctx.meta, com, qpos, qvel, contacts)
 
     ne = efc.J.shape[0]
@@ -112,10 +116,9 @@ def integrate_pos(m: Model, qpos, qvel, dt):
 def _euler_step(m: Model, ctx, qpos, qvel, ctrl, iterations, solver_type):
     h = m.opt.timestep
     fwd = forward(m, qpos, qvel, ctrl, ctx, iterations, solver_type)
-    damping = np.asarray(m.dof_damping)
-    if damping.any():
+    if ctx.has_damping:
         # implicit joint damping: dv = h * (M + h diag(B))^-1 (f_smooth + f_constraint)
-        MhB = fwd.M + jnp.diag(jnp.asarray(h * damping, qvel.dtype))
+        MhB = fwd.M + jnp.diag(h * jnp.asarray(m.dof_damping, qvel.dtype))
         qfrc = fwd.qfrc_smooth + fwd.qfrc_constraint
         dv = h * jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(MhB), qfrc)
     else:
@@ -202,7 +205,10 @@ def rne_post_constraint(m: Model, com, vel, fwd: ForwardOut, mask=None):
     if S == 0:
         return cfrc_ext
     force = contact_forces(fwd)                         # [S, 3]
-    origins = com.subtree_com[np.maximum(m.body_rootid, 0)]  # [nbody, 3]
+    rootid = getattr(m, "body_root_c", None)
+    if rootid is None:
+        rootid = np.maximum(m.body_rootid, 0)
+    origins = com.subtree_com[rootid]                   # [nbody, 3]
     pos = fwd.contacts.pos
     for bodies, sign in ((slots.body1, -1.0), (slots.body2, 1.0)):
         fb = sign * force * jnp.asarray(bodies != 0, dtype)[:, None]

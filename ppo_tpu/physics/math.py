@@ -25,7 +25,9 @@ def quat_mul(q1, q2):
 
 
 def quat_conj(q):
-    return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+    # computed (no array literals: embedded constants poison dispatch on the
+    # tunneled TPU backend — see ppo_tpu/physics/consts.py)
+    return jnp.concatenate([q[..., :1], -q[..., 1:]], axis=-1)
 
 
 def quat_rot(q, v):
@@ -70,7 +72,8 @@ def quat_exp(phi):
     angle = jnp.linalg.norm(phi, axis=-1, keepdims=True)
     # Safe normalization for tiny angles.
     small = angle < 1e-12
-    axis = jnp.where(small, jnp.zeros_like(phi).at[..., 0].set(1.0), phi / jnp.where(small, 1.0, angle))
+    e0 = jnp.zeros_like(phi).at[..., 0].set(1.0)
+    axis = jnp.where(small, e0, phi / jnp.where(small, 1.0, angle))
     half = angle[..., 0] / 2.0
     w = jnp.cos(half)
     xyz = axis * jnp.sin(half)[..., None]
@@ -88,13 +91,14 @@ def normalize_quat(q):
 
 def quat_z2vec(v):
     """Quaternion rotating the z-axis onto the (unit) vector v (mju_quatZ2Vec)."""
-    z = jnp.asarray([0.0, 0.0, 1.0], dtype=v.dtype)
+    z = jnp.zeros_like(v).at[..., 2].set(1.0)
     cross = jnp.cross(z, v)
     sin_a = jnp.linalg.norm(cross)
     cos_a = v[..., 2]
     # handle parallel / antiparallel
     angle = jnp.arctan2(sin_a, cos_a)
-    axis = jnp.where(sin_a < 1e-12, jnp.asarray([1.0, 0.0, 0.0], dtype=v.dtype), cross / jnp.where(sin_a < 1e-12, 1.0, sin_a))
+    ex = jnp.zeros_like(v).at[..., 0].set(1.0)
+    axis = jnp.where(sin_a < 1e-12, ex, cross / jnp.where(sin_a < 1e-12, 1.0, sin_a))
     return quat_exp(axis * angle)
 
 

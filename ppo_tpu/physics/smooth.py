@@ -58,7 +58,7 @@ def kinematics(m: Model, qpos: jnp.ndarray) -> Kin:
     hinge/slide so bodies sit at their XML frames when qpos == qpos0)."""
     dtype = qpos.dtype
     xpos = [jnp.zeros(3, dtype)] * m.nbody
-    xquat = [jnp.asarray([1.0, 0, 0, 0], dtype)] * m.nbody
+    xquat = [jnp.zeros(4, dtype).at[0].set(1.0)] * m.nbody
     xanchor = [None] * m.njnt
     xaxis = [None] * m.njnt
 
@@ -80,14 +80,14 @@ def kinematics(m: Model, qpos: jnp.ndarray) -> Kin:
                 axis_w = pm.quat_rot(quat, jnp.asarray(m.jnt_axis[j], dtype))
                 xanchor[j] = pos + pm.quat_rot(quat, jnp.asarray(m.jnt_pos[j], dtype))
                 xaxis[j] = axis_w
-                pos = pos + axis_w * (qpos[qadr] - float(m.qpos0[qadr]))
+                pos = pos + axis_w * (qpos[qadr] - m.qpos0[qadr])
             elif jtype == HINGE:
                 # anchor and axis are both invariant under the joint's own rotation
                 anchor = pos + pm.quat_rot(quat, jnp.asarray(m.jnt_pos[j], dtype))
                 axis_local = jnp.asarray(m.jnt_axis[j], dtype)
                 xanchor[j] = anchor
                 xaxis[j] = pm.quat_rot(quat, axis_local)
-                angle = qpos[qadr] - float(m.qpos0[qadr])
+                angle = qpos[qadr] - m.qpos0[qadr]
                 qloc = jnp.concatenate(
                     [jnp.cos(angle / 2)[None], axis_local * jnp.sin(angle / 2)]
                 )
@@ -153,7 +153,10 @@ def com_quantities(m: Model, kin: Kin) -> ComQuants:
     )
 
     # c-frame origin per body: subtree com of its root body (world body uses its own)
-    origins = subtree_com[np.maximum(m.body_rootid, 0)]
+    rootid = getattr(m, "body_root_c", None)
+    if rootid is None:
+        rootid = np.maximum(m.body_rootid, 0)
+    origins = subtree_com[rootid]
 
     # spatial inertia of each body at its c-frame origin
     I_world = jnp.einsum(
@@ -161,7 +164,8 @@ def com_quantities(m: Model, kin: Kin) -> ComQuants:
     )
     c = kin.xipos - origins
     cs = _skew(c)
-    eye = jnp.eye(3, dtype=dtype)
+    from ppo_tpu.physics.consts import eye3
+    eye = eye3(dtype)
     top_left = I_world + mass[:, None, None] * (
         jnp.sum(c * c, -1)[:, None, None] * eye - jnp.einsum("bi,bj->bij", c, c)
     )
@@ -284,7 +288,7 @@ def passive_forces(m: Model, qpos: jnp.ndarray, qvel: jnp.ndarray) -> jnp.ndarra
         qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
         k = jnp.asarray(m.jnt_stiffness[j], dtype)
         if jtype in (SLIDE, HINGE):
-            qfrc = qfrc.at[dadr].add(-k * (qpos[qadr] - float(m.qpos_spring[qadr])))
+            qfrc = qfrc.at[dadr].add(-k * (qpos[qadr] - m.qpos_spring[qadr]))
         else:  # FREE: translational spring + rotational spring via quat difference
             qfrc = qfrc.at[dadr : dadr + 3].add(
                 -k * (qpos[qadr : qadr + 3] - jnp.asarray(m.qpos_spring[qadr : qadr + 3], dtype))
@@ -313,7 +317,10 @@ def point_jacobians(m: Model, com: ComQuants, mask: np.ndarray, p, b: int):
     the c-frame origin of each dof's kinematic tree.
     """
     dtype = com.cdof.dtype
-    origins = com.subtree_com[np.maximum(m.body_rootid[m.dof_bodyid], 0)]  # [nv, 3]
+    dof_root = getattr(m, "dof_root_c", None)
+    if dof_root is None:
+        dof_root = np.maximum(m.body_rootid[m.dof_bodyid], 0)
+    origins = com.subtree_com[dof_root]  # [nv, 3]
     jacp = com.cdof[:, 3:] + jnp.cross(com.cdof[:, :3], p[None, :] - origins)
     jacr = com.cdof[:, :3]
     sel = jnp.asarray(mask[b][:, None], dtype)

@@ -57,7 +57,7 @@ def train(cfg: PPOConfig, verbose: bool = True):
     model = build_model(cfg, env)
     optimizer = ppo.make_optimizer(cfg)
     rs = ppo.init_runner_state(cfg, venv, model, optimizer, jax.random.PRNGKey(cfg.seed))
-    train_iteration = jax.jit(ppo.make_train_iteration(cfg, venv, model, optimizer), donate_argnums=0)
+    train_iteration = jax.jit(ppo.make_train_iteration(cfg, venv, model, optimizer))
 
     global_step = 0
     start = time.time()

@@ -37,7 +37,7 @@ def test_step_parity_vs_gymnasium(env_id, gym_id, tol, steps):
         state = EnvState(
             qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel),
             t=jnp.zeros((), jnp.int32), key=jax.random.key(0),
-            x_before=env._x_metric(jnp.asarray(qpos), fwd),
+            x_before=env._x_metric(env.model, jnp.asarray(qpos), fwd),
         )
         action = rng.uniform(env.action_low, env.action_high, env.nu)
         gobs, grew, gterm, gtrunc, _ = genv.step(action)
