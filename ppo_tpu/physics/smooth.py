@@ -329,7 +329,24 @@ def point_jacobians(m: Model, com: ComQuants, mask: np.ndarray, p, b: int):
 
 def set_const(m: Model) -> Model:
     """Fill dof_invweight0 / body_invweight0 (mj_setConst equivalent):
-    inverse-weight diagonals of M^-1 at qpos0, used by constraint regularizers."""
+    inverse-weight diagonals of M^-1 at qpos0, used by constraint regularizers.
+
+    Runs pinned to the CPU backend: it executes once, eagerly, at model-build
+    time, and must not touch the accelerator (op-by-op dispatch on the tunneled
+    TPU backend degrades the device for subsequent programs)."""
+    import jax
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            return _set_const_impl(m)
+    return _set_const_impl(m)
+
+
+def _set_const_impl(m: Model) -> Model:
     qpos0 = jnp.asarray(m.qpos0)
     kin = kinematics(m, qpos0)
     com = com_quantities(m, kin)
