@@ -9,16 +9,26 @@ vectorized: 4096 lockstep envs on one chip") on whatever backend is available
 vs_baseline is value / 1e6 — the fraction of the >1M aggregate env-steps/s
 multi-host target from BASELINE.json (the reference itself publishes no
 numbers, README.md:82).
+
+Validity: timing uses block_until_ready over chained calls (each rep's state
+feeds the next), and AFTER the timed section the final state is fetched and
+checked (episode step counters advanced exactly, rewards finite) so the
+reported number corresponds to real executed physics. Data fetches happen only
+after timing — on the tunneled TPU runtime used here, mixing host fetches into
+the timed loop can flip the device into a degraded dispatch mode.
 """
 
 import json
+import statistics
 import time
 
 import jax
 import jax.numpy as jnp
 
 
-def bench(num_envs=4096, steps=50, solver_iterations=8, warmup=3):
+def bench(num_envs=4096, steps=50, solver_iterations=8, warmup=2, reps=3):
+    import numpy as np
+
     from ppo_tpu.envs import make_env
     from ppo_tpu.models import GaussianActorCritic
 
@@ -28,7 +38,7 @@ def bench(num_envs=4096, steps=50, solver_iterations=8, warmup=3):
     consts = env.consts  # device-resident model arrays, passed as arguments
 
     keys = jax.random.split(jax.random.PRNGKey(0), num_envs)
-    state, obs = jax.vmap(env.reset, in_axes=(0, None))(keys, consts)
+    state, obs = jax.jit(jax.vmap(env.reset, in_axes=(0, None)))(keys, consts)
 
     @jax.jit
     def loop(params, state, obs, key, consts):
@@ -45,18 +55,27 @@ def bench(num_envs=4096, steps=50, solver_iterations=8, warmup=3):
         return state, obs, key, jnp.sum(rs)
 
     key = jax.random.PRNGKey(2)
-    # compile + warmup
-    state, obs, key, _ = jax.block_until_ready(loop(params, state, obs, key, consts))
-    for _ in range(warmup - 1):
-        state, obs, key, _ = jax.block_until_ready(loop(params, state, obs, key, consts))
+    # compile + warmup (no host fetches)
+    for _ in range(warmup):
+        state, obs, key, rsum = jax.block_until_ready(loop(params, state, obs, key, consts))
 
-    t0 = time.perf_counter()
-    n_rep = 3
-    for _ in range(n_rep):
-        state, obs, key, _ = jax.block_until_ready(loop(params, state, obs, key, consts))
-    dt = time.perf_counter() - t0
-    env_steps = num_envs * steps * n_rep
-    return env_steps / dt
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        state, obs, key, rsum = jax.block_until_ready(loop(params, state, obs, key, consts))
+        times.append(time.perf_counter() - t0)
+
+    # validity check AFTER timing: the step counters must have advanced by
+    # exactly (warmup + reps) * steps (no episode ends: cheetah never
+    # terminates and 1000-step truncation is not reached)
+    t_expect = (warmup + reps) * steps
+    t_actual = int(jax.device_get(state.t[0]))
+    r = float(jax.device_get(rsum))
+    assert t_actual == t_expect, f"executed steps {t_actual} != {t_expect}"
+    assert np.isfinite(r), "non-finite rewards"
+
+    dt = statistics.median(times)
+    return num_envs * steps / dt
 
 
 if __name__ == "__main__":
