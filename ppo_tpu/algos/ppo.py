@@ -46,6 +46,7 @@ class IterationOut(NamedTuple):
     episode_length: jax.Array   # [T, N]
     episode_done: jax.Array     # [T, N] bool
     mean_reward: jax.Array
+    mean_return: jax.Array      # mean GAE return (losses/discounted_returns tag)
 
 
 def make_optimizer(cfg: PPOConfig):
@@ -171,6 +172,7 @@ def make_train_iteration(cfg: PPOConfig, venv: VectorEnv, model, optimizer, axis
             episode_length=infos["episode_length"],
             episode_done=infos["done"],
             mean_reward=jnp.mean(rewards),
+            mean_return=jnp.mean(returns),
         )
         return new_rs, out
 

@@ -102,7 +102,11 @@ def make_distributed_train_iteration(cfg: PPOConfig, venv_local: VectorEnv, mode
         rs = rs.replace(key=rs.key[None])
         # metric allreduce before logging (ac_ppo...cpp:894-901)
         stats = jax.tree.map(lambda x: jax.lax.pmean(x, AXIS), out.stats)
-        out = out._replace(stats=stats, mean_reward=jax.lax.pmean(out.mean_reward, AXIS))
+        out = out._replace(
+            stats=stats,
+            mean_reward=jax.lax.pmean(out.mean_reward, AXIS),
+            mean_return=jax.lax.pmean(out.mean_return, AXIS),
+        )
         return rs, out
 
     def run(rs, specs):
@@ -112,6 +116,7 @@ def make_distributed_train_iteration(cfg: PPOConfig, venv_local: VectorEnv, mode
             episode_length=P(None, AXIS),
             episode_done=P(None, AXIS),
             mean_reward=P(),
+            mean_return=P(),
         )
         f = shard_map(
             device_fn, mesh=mesh, in_specs=(specs,), out_specs=(specs, out_specs),

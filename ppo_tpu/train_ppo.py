@@ -88,6 +88,7 @@ def train(cfg: PPOConfig, verbose: bool = True):
         writer.add_scalar("losses/old_approx_kl", float(s.old_approx_kl), global_step)
         writer.add_scalar("losses/approx_kl", float(s.approx_kl), global_step)
         writer.add_scalar("losses/clipfrac", float(s.clipfrac), global_step)
+        writer.add_scalar("losses/discounted_returns", float(out.mean_return), global_step)
         sps = int(global_step / (time.time() - start))
         writer.add_scalar("charts/SPS", sps, global_step)
         if verbose:
