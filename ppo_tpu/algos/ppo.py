@@ -14,7 +14,6 @@ torchfort::Comm allreduce, ac_ppo_continuous_action.cpp:874-888).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple
 
 import jax

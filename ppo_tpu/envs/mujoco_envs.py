@@ -19,7 +19,6 @@ observables from the final substep's ForwardOut.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -27,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ppo_tpu.physics import collision, forward, smooth
+from ppo_tpu.physics import forward, smooth
 from ppo_tpu.physics import consts as pconsts
 from ppo_tpu.physics.model import Model, gym_asset_path, load_model
 
