@@ -42,6 +42,7 @@ class PPOConfig:
     num_eval_runs: int = 10
     eval_seed: int = 10_000
     checkpoint_every: int = 1
+    resume_from: str = ""                   # checkpoint file or run folder to resume from
     solver_iterations: int = 30             # physics PGS sweeps (TPU throughput knob)
     agent: str = "gaussian"                 # gaussian | beta
     sample_type: str = "sample"             # beta-agent collection sampling

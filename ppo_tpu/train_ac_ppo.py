@@ -42,6 +42,13 @@ class ACPPOConfig(PPOConfig):
 
 
 def train(cfg: ACPPOConfig, verbose: bool = True):
+    # fail fast on a bad resume target, before any compilation
+    resume_path, resume_it = (None, -1)
+    if cfg.resume_from:
+        resume_path, resume_it = ckpt.resolve_checkpoint(cfg.resume_from)
+        if resume_path is None:
+            raise FileNotFoundError(f"no checkpoint under {cfg.resume_from}")
+
     run_name = f"{cfg.env_id}__{cfg.exp_name}__{cfg.seed}__{int(time.time())}"
     folder = os.path.join(cfg.exp_folder, run_name)
     writer = SummaryWriter(folder)
@@ -70,14 +77,22 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
     collect = jax.jit(ac_ppo.make_collect_fn(cfg, venv, model))
     update = jax.jit(ac_ppo.make_update_fn(cfg, model, optimizer), donate_argnums=(0, 1))
 
+    # resume model+optimizer, iteration parsed from filename (ac_ppo_carla.cpp:226-255)
+    start_iter = 1
+    if resume_path is not None:
+        restored = ckpt.restore_state(resume_path, {"params": params, "opt_state": opt_state})
+        params, opt_state = restored["params"], restored["opt_state"]
+        start_iter = resume_it + 1
+        writer.add_scalar("charts/restart", 1.0, (start_iter - 1) * cfg.batch_size)
+
     done = jnp.zeros(venv.num_envs, bool)
     pending = None  # rollout awaiting its update (pipelined mode)
-    global_step = 0
+    global_step = (start_iter - 1) * cfg.batch_size
     start = time.time()
     windowed: list[float] = []     # best-model tracking (ac_ppo_carla.cpp:456-474)
     best_score = -np.inf
 
-    for iteration in range(1, cfg.num_iterations + 1):
+    for iteration in range(start_iter, cfg.num_iterations + 1):
         key, k_up = jax.random.split(key)
         # dispatch collection with the CURRENT policy snapshot
         env_state, obs, done, key, rollout = collect(params, env_state, obs, done, key)
@@ -113,7 +128,7 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
             writer.add_scalar("losses/entropy", float(s.entropy), global_step)
             writer.add_scalar("losses/approx_kl", float(s.approx_kl), global_step)
             writer.add_scalar("losses/clipfrac", float(s.clipfrac), global_step)
-        sps = int(global_step / (time.time() - start))
+        sps = int((global_step - (start_iter - 1) * cfg.batch_size) / (time.time() - start))
         writer.add_scalar("charts/SPS", sps, global_step)
         if verbose:
             print(f"iter {iteration}/{cfg.num_iterations} SPS {sps}")

@@ -140,13 +140,24 @@ def train(cfg: CNNConfig, verbose: bool = True):
     opt_state = optimizer.init(params)
     start_iter = 1
 
-    if cfg.resume:
-        path, it = ckpt.latest_checkpoint(os.path.join(cfg.exp_folder, "latest"))
+    if cfg.resume or cfg.resume_from:
+        if cfg.resume_from:
+            path, it = ckpt.resolve_checkpoint(cfg.resume_from)
+            if path is None:
+                raise FileNotFoundError(f"no checkpoint under {cfg.resume_from}")
+        else:
+            # --resume scans every run folder under exp_folder for the newest
+            # state_latest checkpoint (crash-recovery-by-restart, ac_ppo_carla.cpp:226-255)
+            path, it = None, -1
+            for d in sorted(os.listdir(cfg.exp_folder)) if os.path.isdir(cfg.exp_folder) else []:
+                p, i = ckpt.latest_checkpoint(os.path.join(cfg.exp_folder, d))
+                if p is not None and i > it:
+                    path, it = p, i
         if path is not None:
             restored = ckpt.restore_state(path, {"params": params, "opt_state": opt_state})
             params, opt_state = restored["params"], restored["opt_state"]
             start_iter = it + 1
-            writer.add_scalar("charts/restart", 1.0, it)  # restart marker
+            writer.add_scalar("charts/restart", 1.0, it * cfg.batch_size)  # restart marker
 
     collect, update = make_fns(cfg, venv, model, optimizer)
     done = jnp.zeros(cfg.num_envs, bool)

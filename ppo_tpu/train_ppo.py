@@ -41,6 +41,14 @@ def build_model(cfg: PPOConfig, env):
 
 
 def train(cfg: PPOConfig, verbose: bool = True):
+    # resolve the resume target up front so a bad path fails before any
+    # env construction / compilation
+    resume_path, resume_it = (None, -1)
+    if cfg.resume_from:
+        resume_path, resume_it = ckpt.resolve_checkpoint(cfg.resume_from)
+        if resume_path is None:
+            raise FileNotFoundError(f"no checkpoint under {cfg.resume_from}")
+
     run_name = f"{cfg.env_id}__{cfg.exp_name}__{cfg.seed}__{int(time.time())}"
     folder = os.path.join(cfg.exp_folder, run_name)
     writer = SummaryWriter(folder)
@@ -59,10 +67,19 @@ def train(cfg: PPOConfig, verbose: bool = True):
     rs = ppo.init_runner_state(cfg, venv, model, optimizer, jax.random.PRNGKey(cfg.seed))
     train_iteration = jax.jit(ppo.make_train_iteration(cfg, venv, model, optimizer))
 
-    global_step = 0
+    # resume: full runner state (params, optimizer, env normalizers, RNG) —
+    # the reference resumes model+optimizer only (ac_ppo_carla.cpp:226-255);
+    # we also restore the wrapper statistics it documents as lost (ppo...cpp:595-599)
+    start_iter = 1
+    if resume_path is not None:
+        rs = ckpt.restore_state(resume_path, rs)
+        start_iter = int(rs.iteration) + 1 if resume_it == 0 else resume_it + 1
+        writer.add_scalar("charts/restart", 1.0, (start_iter - 1) * cfg.batch_size)
+
+    global_step = (start_iter - 1) * cfg.batch_size
     start = time.time()
     tt = TicToc(verbose=verbose)
-    for iteration in range(1, cfg.num_iterations + 1):
+    for iteration in range(start_iter, cfg.num_iterations + 1):
         tt.tic()
         rs, out = train_iteration(rs)
         out = jax.block_until_ready(jax.device_get(out))
@@ -89,7 +106,7 @@ def train(cfg: PPOConfig, verbose: bool = True):
         writer.add_scalar("losses/approx_kl", float(s.approx_kl), global_step)
         writer.add_scalar("losses/clipfrac", float(s.clipfrac), global_step)
         writer.add_scalar("losses/discounted_returns", float(out.mean_return), global_step)
-        sps = int(global_step / (time.time() - start))
+        sps = int((global_step - (start_iter - 1) * cfg.batch_size) / (time.time() - start))
         writer.add_scalar("charts/SPS", sps, global_step)
         if verbose:
             print(f"iter {iteration}/{cfg.num_iterations} SPS {sps}")

@@ -66,3 +66,18 @@ def latest_checkpoint(folder: str | os.PathLike):
 def restore_state(path: str | os.PathLike, target):
     """Restore into a template pytree with the same structure."""
     return serialization.from_bytes(target, Path(path).read_bytes())
+
+
+def resolve_checkpoint(path: str | os.PathLike):
+    """(path, iteration) from a checkpoint file or a run folder.
+
+    Mirrors the reference's resume entry (ac_ppo_carla.cpp:226-255): a file
+    path has its iteration parsed from the `state_latest_%09d` filename
+    (0 for state_final/state_best); a folder resolves to its newest
+    state_latest file. Returns (None, -1) if nothing is found.
+    """
+    p = Path(path)
+    if p.is_file():
+        m = _LATEST_RE.search(p.name)
+        return p, int(m.group(1)) if m else 0
+    return latest_checkpoint(p)

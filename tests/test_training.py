@@ -57,6 +57,67 @@ def test_cnn_trains(tmp_path):
         assert np.all(np.isfinite(leaf))
 
 
+def test_ppo_resume_continues_run(tmp_path):
+    """Kill-and-resume: a run checkpointed at iteration k, restarted with
+    --resume_from, continues at k+1 with the full runner state (params,
+    optimizer, env normalizers, RNG) — the reference's crash-recovery path
+    (ac_ppo_carla.cpp:226-255) plus the normalizer-state gap fixed."""
+    import glob
+
+    from ppo_tpu.config import PPOConfig
+    from ppo_tpu.train_ppo import train
+    from ppo_tpu.utils import checkpoint as ckpt
+
+    base = dict(
+        env_id="HalfCheetah-v5", num_envs=2, num_steps=16, num_minibatches=2,
+        update_epochs=1, exp_folder=str(tmp_path), solver_iterations=4,
+        num_eval_runs=1, checkpoint_every=1,
+    )
+    # phase 1: 2 iterations
+    cfg1 = PPOConfig(total_timesteps=64, **base)
+    rs1, _ = train(cfg1, verbose=False)
+    run1 = glob.glob(str(tmp_path / "*"))[0]
+    path, it = ckpt.latest_checkpoint(run1)
+    assert it == 2
+
+    # phase 2: resume from the folder, run to 4 iterations total
+    cfg2 = PPOConfig(total_timesteps=128, resume_from=run1, **base)
+    rs2, _ = train(cfg2, verbose=False)
+    assert int(rs2.iteration) == 4
+    # resumed run must have moved past the checkpoint
+    p_ckpt = jax.tree.leaves(ckpt.restore_state(path, rs1).params)[0]
+    p_new = jax.tree.leaves(jax.device_get(rs2.params))[0]
+    assert np.abs(p_new - p_ckpt).max() > 0
+
+def test_resolve_checkpoint_file_and_folder(tmp_path):
+    from ppo_tpu.utils import checkpoint as ckpt
+
+    p = ckpt.save_state({"a": np.zeros(3)}, tmp_path, 7)
+    # folder resolves to newest latest-file; file parses iteration from name
+    assert ckpt.resolve_checkpoint(tmp_path) == (p, 7)
+    assert ckpt.resolve_checkpoint(p) == (p, 7)
+    f = ckpt.save_final({"a": np.zeros(3)}, tmp_path)
+    assert ckpt.resolve_checkpoint(f) == (f, 0)
+    assert ckpt.resolve_checkpoint(tmp_path / "nope") == (None, -1)
+
+
+def test_ac_ppo_resume(tmp_path):
+    import glob
+
+    from ppo_tpu.train_ac_ppo import ACPPOConfig, train
+
+    base = dict(
+        env_id="Hopper-v5", num_envs=2, num_steps=16, num_minibatches=2,
+        update_epochs=1, exp_folder=str(tmp_path), solver_iterations=4,
+        num_eval_runs=1, pipelined=False, checkpoint_every=1,
+    )
+    train(ACPPOConfig(total_timesteps=64, **base), verbose=False)
+    run1 = glob.glob(str(tmp_path / "*"))[0]
+    params, _ = train(ACPPOConfig(total_timesteps=96, resume_from=run1, **base), verbose=False)
+    for leaf in jax.tree.leaves(jax.device_get(params)):
+        assert np.all(np.isfinite(leaf))
+
+
 def test_gaussian_ppo_learns_quickly_on_cheetah():
     """Short learning sanity: losses finite, approx_kl sane, SPS positive —
     plus the policy visibly changes (update actually moves parameters)."""
