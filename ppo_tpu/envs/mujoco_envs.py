@@ -38,6 +38,7 @@ class EnvState:
     t: jax.Array                  # elapsed steps in episode (int32)
     key: jax.Array                # per-env RNG key
     x_before: jax.Array           # body-x / com-x used for velocity rewards
+    qacc_warmstart: jax.Array     # previous step's qacc (mjData.qacc_warmstart)
 
 
 class StepExtras(NamedTuple):
@@ -76,20 +77,22 @@ class MujocoEnv:
         return pconsts.inject(self.model, self.ctx, consts)
 
     # -- physics ----------------------------------------------------------
-    def _substeps(self, m, ctx, qpos, qvel, ctrl):
+    def _substeps(self, m, ctx, qpos, qvel, ctrl, warmstart):
         # first frame_skip-1 substeps under scan (one step body in the graph),
         # final substep unrolled so its ForwardOut feeds obs/reward staleness
         if self.frame_skip > 1:
             def body(carry, _):
-                qp, qv = carry
-                qp2, qv2, _ = forward.step(m, ctx, qp, qv, ctrl, self.iterations, self.solver_type)
-                return (qp2, qv2), None
+                qp, qv, ws = carry
+                qp2, qv2, fwd = forward.step(
+                    m, ctx, qp, qv, ctrl, self.iterations, self.solver_type, ws
+                )
+                return (qp2, qv2, fwd.qacc), None
 
-            (qpos, qvel), _ = jax.lax.scan(
-                body, (qpos, qvel), None, length=self.frame_skip - 1
+            (qpos, qvel, warmstart), _ = jax.lax.scan(
+                body, (qpos, qvel, warmstart), None, length=self.frame_skip - 1
             )
         qpos, qvel, last_fwd = forward.step(
-            m, ctx, qpos, qvel, ctrl, self.iterations, self.solver_type
+            m, ctx, qpos, qvel, ctrl, self.iterations, self.solver_type, warmstart
         )
         extras = StepExtras(
             fwd=last_fwd,
@@ -121,6 +124,7 @@ class MujocoEnv:
         state = EnvState(
             qpos=qpos, qvel=qvel, t=jnp.zeros((), jnp.int32), key=key,
             x_before=self._x_metric(m, qpos, fwd),
+            qacc_warmstart=fwd.qacc,
         )
         extras = StepExtras(
             fwd=fwd, cfrc_ext=self._reset_cfrc(m, fwd), ctrl=jnp.zeros(self.nu, self.dtype)
@@ -143,14 +147,19 @@ class MujocoEnv:
             jnp.asarray(m.actuator_ctrlrange[:, 0], self.dtype),
             jnp.asarray(m.actuator_ctrlrange[:, 1], self.dtype),
         )
-        qpos, qvel, extras = self._substeps(m, ctx, state.qpos, state.qvel, ctrl)
+        qpos, qvel, extras = self._substeps(
+            m, ctx, state.qpos, state.qvel, ctrl, state.qacc_warmstart
+        )
         x_after = self._x_metric(m, qpos, extras.fwd)
         x_velocity = (x_after - state.x_before) / self.dt
         reward, terminated = self._reward_done(qpos, qvel, ctrl, x_velocity, extras)
         t = state.t + 1
         truncated = t >= self.max_episode_steps
         obs = self._obs(m, qpos, qvel, extras)
-        new_state = EnvState(qpos=qpos, qvel=qvel, t=t, key=state.key, x_before=x_after)
+        new_state = EnvState(
+            qpos=qpos, qvel=qvel, t=t, key=state.key, x_before=x_after,
+            qacc_warmstart=extras.fwd.qacc,
+        )
         return new_state, obs, reward, terminated, truncated
 
 

@@ -56,7 +56,7 @@ class ForwardOut(NamedTuple):
     M: jnp.ndarray
 
 
-def forward(m: Model, qpos, qvel, ctrl, ctx: StepContext | None = None, iterations=None, solver_type: str = "newton") -> ForwardOut:
+def forward(m: Model, qpos, qvel, ctrl, ctx: StepContext | None = None, iterations=None, solver_type: str = "newton", warmstart=None) -> ForwardOut:
     if ctx is None:
         ctx = make_context(m)
     iterations = iterations or m.opt.solver_iterations
@@ -78,7 +78,7 @@ def forward(m: Model, qpos, qvel, ctrl, ctx: StepContext | None = None, iteratio
     ne = efc.J.shape[0]
     if ne and solver_type == "newton":
         D = 1.0 / efc.R
-        f, qacc = solver.solve_newton(M, efc.J, D, efc.aref, qacc_smooth, iterations)
+        f, qacc = solver.solve_newton(M, efc.J, D, efc.aref, qacc_smooth, iterations, x0=warmstart)
         qfrc_constraint = efc.J.T @ f
     elif ne:
         MiJT = jax.scipy.linalg.cho_solve(Mchol, efc.J.T)      # [nv, ne]
@@ -113,9 +113,9 @@ def integrate_pos(m: Model, qpos, qvel, dt):
     return out
 
 
-def _euler_step(m: Model, ctx, qpos, qvel, ctrl, iterations, solver_type):
+def _euler_step(m: Model, ctx, qpos, qvel, ctrl, iterations, solver_type, warmstart=None):
     h = m.opt.timestep
-    fwd = forward(m, qpos, qvel, ctrl, ctx, iterations, solver_type)
+    fwd = forward(m, qpos, qvel, ctrl, ctx, iterations, solver_type, warmstart)
     if ctx.has_damping:
         # implicit joint damping: dv = h * (M + h diag(B))^-1 (f_smooth + f_constraint)
         MhB = fwd.M + jnp.diag(h * jnp.asarray(m.dof_damping, qvel.dtype))
@@ -132,9 +132,9 @@ _RK4_A = ((0.5,), (0.0, 0.5), (0.0, 0.0, 1.0))
 _RK4_B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
 
 
-def _rk4_step(m: Model, ctx, qpos, qvel, ctrl, iterations, solver_type):
+def _rk4_step(m: Model, ctx, qpos, qvel, ctrl, iterations, solver_type, warmstart=None):
     h = m.opt.timestep
-    fwd0 = forward(m, qpos, qvel, ctrl, ctx, iterations, solver_type)
+    fwd0 = forward(m, qpos, qvel, ctrl, ctx, iterations, solver_type, warmstart)
     Fv = [qvel]
     Fa = [fwd0.qacc]
     fwd_i = fwd0
@@ -143,7 +143,9 @@ def _rk4_step(m: Model, ctx, qpos, qvel, ctrl, iterations, solver_type):
         da = sum(a * acc for a, acc in zip(_RK4_A[i], Fa) if a)
         qpos_i = integrate_pos(m, qpos, dv, h)
         qvel_i = qvel + h * da
-        fwd_i = forward(m, qpos_i, qvel_i, ctrl, ctx, iterations, solver_type)
+        # each RK stage warmstarts from the previous stage's solution (the
+        # persisted-qacc_warmstart analogue of mjData across forward calls)
+        fwd_i = forward(m, qpos_i, qvel_i, ctrl, ctx, iterations, solver_type, Fa[-1])
         Fv.append(qvel_i)
         Fa.append(fwd_i.qacc)
     dv = sum(b * v for b, v in zip(_RK4_B, Fv))
@@ -156,12 +158,14 @@ def _rk4_step(m: Model, ctx, qpos, qvel, ctrl, iterations, solver_type):
     return qpos_new, qvel_new, fwd_i
 
 
-def step(m: Model, ctx: StepContext, qpos, qvel, ctrl, iterations=None, solver_type="newton"):
-    """One mj_step: returns (qpos', qvel', ForwardOut of the mjData-visible state)."""
+def step(m: Model, ctx: StepContext, qpos, qvel, ctrl, iterations=None, solver_type="newton", warmstart=None):
+    """One mj_step: returns (qpos', qvel', ForwardOut of the mjData-visible
+    state). `warmstart` is the previous step's qacc (qacc_warmstart); the
+    returned fwd.qacc is the warmstart for the next step."""
     iterations = iterations or m.opt.solver_iterations
     if m.opt.integrator == EULER:
-        return _euler_step(m, ctx, qpos, qvel, ctrl, iterations, solver_type)
-    return _rk4_step(m, ctx, qpos, qvel, ctrl, iterations, solver_type)
+        return _euler_step(m, ctx, qpos, qvel, ctrl, iterations, solver_type, warmstart)
+    return _rk4_step(m, ctx, qpos, qvel, ctrl, iterations, solver_type, warmstart)
 
 
 def make_step_fn(m: Model, iterations=None, solver_type="newton"):

@@ -34,7 +34,8 @@ def solve_pgs(A: jnp.ndarray, b: jnp.ndarray, iterations: int) -> jnp.ndarray:
     return f
 
 
-def solve_newton(M, J, D, aref, qacc_smooth, iterations=10):
+def solve_newton(M, J, D, aref, qacc_smooth, iterations=10, x0=None,
+                 ls_iterations=8):
     """Primal Newton solver (MuJoCo's default): minimize over x = qacc
         0.5 (x - xs)' M (x - xs) + 0.5 sum_i [jar_i < 0] D_i jar_i^2,
         jar = J x - aref,
@@ -42,10 +43,19 @@ def solve_newton(M, J, D, aref, qacc_smooth, iterations=10):
     (f = -D * jar on the active set). Unlike Gauss-Seidel, every operation is
     a dense batched matvec/cholesky — the TPU-friendly hot path.
 
+    `x0` is an optional warmstart (MuJoCo's qacc_warmstart): the start point is
+    whichever of {x0, qacc_smooth} has lower cost (mj_warmstart semantics),
+    which typically halves the iterations needed in steady state.
+
+    The line search is exact along each Newton direction: the 1-D restriction
+    of the cost is piecewise quadratic in alpha with positive curvature, so a
+    few scalar Newton steps on phi'(alpha) land on the exact minimizer — the
+    same scheme MuJoCo's Newton solver uses — at the price of two extra
+    vector ops per solver iteration (no extra matvecs or factorizations).
+
     Structurally-inactive rows arrive with J = 0, aref = 0 so jar = 0 and they
     never activate. Returns (f, qacc).
     """
-    dtype = qacc_smooth.dtype
     xs = qacc_smooth
 
     def cost(x):
@@ -54,7 +64,10 @@ def solve_newton(M, J, D, aref, qacc_smooth, iterations=10):
         dx = x - xs
         return 0.5 * dx @ (M @ dx) + 0.5 * jnp.sum(jnp.where(act, D * jar * jar, 0.0))
 
-    alphas = jnp.asarray([1.0, 0.5, 0.25, 0.0625, 0.0], dtype)
+    if x0 is None:
+        x_init = xs
+    else:
+        x_init = jnp.where(cost(x0) < cost(xs), x0, xs)
 
     def body(x, _):
         jar = J @ x - aref
@@ -62,13 +75,28 @@ def solve_newton(M, J, D, aref, qacc_smooth, iterations=10):
         H = M + J.T @ (d[:, None] * J)
         g = M @ (x - xs) + J.T @ (d * jar)
         dx = -jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(H), g)
-        # safeguarded step: pick the best of a few step sizes (piecewise-
-        # quadratic cost; alpha=0 guarantees monotonicity)
-        costs = jax.vmap(lambda a: cost(x + a * dx))(alphas)
-        x = x + alphas[jnp.argmin(costs)] * dx
-        return x, None
 
-    x, _ = jax.lax.scan(body, xs, None, length=iterations)
+        # exact line search on phi(a) = cost(x + a dx): piecewise quadratic,
+        # phi'(a) = g0 + a*dmd + sum_act D (jar + a dj) dj with the active set
+        # a function of a — scalar Newton converges to the exact minimizer.
+        mdx = M @ dx
+        dmd = dx @ mdx
+        g0 = dx @ (M @ (x - xs))
+        dj = J @ dx
+
+        def ls_step(a, _):
+            r = jar + a * dj
+            act = r < 0
+            dphi = g0 + a * dmd + jnp.sum(jnp.where(act, D * r * dj, 0.0))
+            ddphi = dmd + jnp.sum(jnp.where(act, D * dj * dj, 0.0))
+            return a - dphi / jnp.maximum(ddphi, 1e-12), None
+
+        a, _ = jax.lax.scan(ls_step, jnp.ones((), x.dtype), None, length=ls_iterations)
+        # safeguard: never increase the cost (alpha=0 fallback)
+        a = jnp.where(cost(x + a * dx) < cost(x), a, 0.0)
+        return x + a * dx, None
+
+    x, _ = jax.lax.scan(body, x_init, None, length=iterations)
     jar = J @ x - aref
     f = jnp.where(jar < 0, -D * jar, 0.0)
     return f, x

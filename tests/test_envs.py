@@ -38,6 +38,7 @@ def test_step_parity_vs_gymnasium(env_id, gym_id, tol, steps):
             qpos=jnp.asarray(qpos), qvel=jnp.asarray(qvel),
             t=jnp.zeros((), jnp.int32), key=jax.random.key(0),
             x_before=env._x_metric(env.model, jnp.asarray(qpos), fwd),
+            qacc_warmstart=fwd.qacc,
         )
         action = rng.uniform(env.action_low, env.action_high, env.nu)
         gobs, grew, gterm, gtrunc, _ = genv.step(action)

@@ -59,6 +59,38 @@ def test_short_horizon_trajectory(xml, steps, tol):
     np.testing.assert_allclose(qv_us, qv_mj, atol=tol * 100)
 
 
+@pytest.mark.parametrize("xml,steps,tol", [
+    ("half_cheetah.xml", 50, 1e-5),
+    ("ant.xml", 50, 1e-4),
+])
+def test_warmstart_low_iterations_trajectory(xml, steps, tol):
+    """With qacc_warmstart threading (mjData semantics), 4 Newton iterations
+    match MuJoCo trajectories as tightly as 15 cold iterations do — the
+    throughput configuration the vectorized envs run with."""
+    m, mj = load_pair(xml)
+    rng = np.random.default_rng(0)
+    d = mujoco.MjData(mj)
+    d.qpos[:] = mj.qpos0 + rng.uniform(-0.01, 0.01, mj.nq)
+    d.qvel[:] = rng.normal(0, 0.05, mj.nv)
+    ctrls = rng.uniform(-0.3, 0.3, (steps, mj.nu))
+
+    ctx = forward.make_context(m)
+
+    @jax.jit
+    def step_ws(qpos, qvel, ctrl, ws):
+        qp, qv, fwd = forward.step(m, ctx, qpos, qvel, ctrl, 4, "newton", ws)
+        return qp, qv, fwd.qacc
+
+    qpos = jnp.asarray(d.qpos.copy())
+    qvel = jnp.asarray(d.qvel.copy())
+    ws = jnp.zeros(mj.nv)
+    for t in range(steps):
+        d.ctrl[:] = ctrls[t]
+        mujoco.mj_step(mj, d)
+        qpos, qvel, ws = step_ws(qpos, qvel, jnp.asarray(ctrls[t]), ws)
+        np.testing.assert_allclose(np.asarray(qpos), d.qpos, atol=tol, err_msg=f"step {t}")
+
+
 @pytest.mark.parametrize("xml", ["half_cheetah.xml", "hopper.xml"])
 def test_medium_horizon_bounded_drift(xml):
     traj_mj, traj_us = run_both(xml, 400)
