@@ -190,12 +190,14 @@ def init_runner_state(cfg: PPOConfig, venv: VectorEnv, model, optimizer, key) ->
     )
 
 
-def evaluate(cfg: PPOConfig, venv: VectorEnv, model, params, key, num_episodes=None, max_steps=1000):
-    """Final eval like ppo_continuous_action.cpp:589-626: reuse the training
-    vector env (keeping normalization statistics), stochastic actions, collect
-    episode returns until num_eval_runs episodes finished."""
+def evaluate(cfg: PPOConfig, venv: VectorEnv, model, params, key, num_episodes=None,
+             max_steps=1000, norm_state=None):
+    """Final eval like ppo_continuous_action.cpp:589-626: keep the TRAINING
+    normalization statistics (pass the final VectorState as `norm_state`),
+    stochastic actions, run until num_eval_runs episodes finished (autoreset
+    keeps collecting across episode boundaries)."""
     num_episodes = num_episodes or cfg.num_eval_runs
-    state, obs = venv.reset(key)
+    state, obs = venv.reset(key, norm_state=norm_state)
     kwargs = {"sample_type": cfg.sample_type} if cfg.agent == "beta" and cfg.sample_type != "sample" else {}
 
     def eval_step(carry, _):
@@ -205,8 +207,12 @@ def evaluate(cfg: PPOConfig, venv: VectorEnv, model, params, key, num_episodes=N
         state, obs, _, term, trunc, infos = venv.step(state, action)
         return (state, obs, key), (infos["episode_return"], infos["done"])
 
+    # enough steps for num_episodes to finish even with a single env
+    # (each episode after the first costs max_steps + 1: autoreset interposes
+    # a non-counting reset step between episodes)
+    rounds = -(-num_episodes // venv.num_envs)
     (_, _, _), (ep_returns, ep_done) = jax.lax.scan(
-        eval_step, (state, obs, key), None, length=max_steps + 1
+        eval_step, (state, obs, key), None, length=rounds * (max_steps + 1) + 1
     )
     returns = np.asarray(ep_returns)[np.asarray(ep_done)]
     return returns[:num_episodes]

@@ -62,20 +62,27 @@ class VectorEnv:
         self.act_dim = env.act_dim
         self.dtype = env.dtype
 
-    def reset(self, key: jax.Array):
+    def reset(self, key: jax.Array, norm_state: "VectorState | None" = None):
+        """`norm_state`: a previous VectorState whose normalizer statistics are
+        carried over (the reference reuses TRAINING envs for eval precisely to
+        keep these, ppo_continuous_action.cpp:595-599)."""
         keys = jax.random.split(key, self.num_envs)
         consts = self.env.consts
         env_state, obs = jax.vmap(self.env.reset, in_axes=(0, None))(keys, consts)
         obs_rms = None
         if self.normalize_obs:
-            obs_rms = RunningMeanStd.create((self.num_envs, self.obs_dim), dtype=self.dtype)
+            if norm_state is not None and norm_state.obs_rms is not None:
+                obs_rms = norm_state.obs_rms
+            else:
+                obs_rms = RunningMeanStd.create((self.num_envs, self.obs_dim), dtype=self.dtype)
             obs_rms = obs_rms.update(obs)
             obs = jnp.clip(obs_rms.normalize(obs), -self.clip_obs, self.clip_obs)
-        rew_norm = (
-            RewardNormState.create(self.num_envs, self.gamma, dtype=self.dtype)
-            if self.normalize_reward
-            else None
-        )
+        if not self.normalize_reward:
+            rew_norm = None
+        elif norm_state is not None and norm_state.rew_norm is not None:
+            rew_norm = norm_state.rew_norm
+        else:
+            rew_norm = RewardNormState.create(self.num_envs, self.gamma, dtype=self.dtype)
         state = VectorState(
             env=env_state,
             autoreset=jnp.zeros(self.num_envs, bool),

@@ -144,7 +144,9 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
 
     # final eval with deterministic actions (sample_type="mean", ac_ppo...cpp:965-1001)
     eval_cfg = dataclasses.replace(cfg, sample_type="mean" if cfg.agent == "beta" else "sample")
-    returns = ppo.evaluate(eval_cfg, venv, model, params, jax.random.PRNGKey(cfg.eval_seed))
+    returns = ppo.evaluate(
+        eval_cfg, venv, model, params, jax.random.PRNGKey(cfg.eval_seed), norm_state=env_state
+    )
     if len(returns):
         writer.add_scalar("eval/avg_return", float(np.mean(returns)), 0)
         if verbose:

@@ -64,8 +64,29 @@ def train(cfg: PPOConfig, verbose: bool = True):
     )
     model = build_model(cfg, env)
     optimizer = ppo.make_optimizer(cfg)
-    rs = ppo.init_runner_state(cfg, venv, model, optimizer, jax.random.PRNGKey(cfg.seed))
-    train_iteration = jax.jit(ppo.make_train_iteration(cfg, venv, model, optimizer))
+
+    if cfg.num_devices > 1:
+        # data-parallel: envs sharded over the mesh, params replicated, grads
+        # pmean'd in the update (replaces `mpirun -n N`, ac_ppo...cpp:299-303)
+        from ppo_tpu.parallel import (
+            init_distributed_runner_state,
+            make_distributed_train_iteration,
+            make_mesh,
+        )
+
+        mesh = make_mesh(cfg.num_devices)
+        venv_local = VectorEnv(
+            env, cfg.num_envs // cfg.num_devices, clip_actions=True,
+            normalize_obs=use_wrappers, normalize_reward=use_wrappers, gamma=cfg.gamma,
+        )
+        rs, specs = init_distributed_runner_state(
+            cfg, venv, model, optimizer, jax.random.PRNGKey(cfg.seed), mesh
+        )
+        run = make_distributed_train_iteration(cfg, venv_local, model, optimizer, mesh)
+        train_iteration = jax.jit(lambda r: run(r, specs))
+    else:
+        rs = ppo.init_runner_state(cfg, venv, model, optimizer, jax.random.PRNGKey(cfg.seed))
+        train_iteration = jax.jit(ppo.make_train_iteration(cfg, venv, model, optimizer))
 
     # resume: full runner state (params, optimizer, env normalizers, RNG) —
     # the reference resumes model+optimizer only (ac_ppo_carla.cpp:226-255);
@@ -117,7 +138,9 @@ def train(cfg: PPOConfig, verbose: bool = True):
     ckpt.save_final(rs, folder)
 
     # final eval: training envs keep their normalization statistics
-    returns = ppo.evaluate(cfg, venv, model, rs.params, jax.random.PRNGKey(cfg.eval_seed))
+    returns = ppo.evaluate(
+        cfg, venv, model, rs.params, jax.random.PRNGKey(cfg.eval_seed), norm_state=rs.env
+    )
     for i, r in enumerate(returns):
         writer.add_scalar("eval/episodic_return", float(r), i)
     if len(returns):

@@ -118,6 +118,68 @@ def test_ac_ppo_resume(tmp_path):
         assert np.all(np.isfinite(leaf))
 
 
+def test_evaluate_keeps_training_normalizer_and_episode_count():
+    """The final eval must see observations normalized with the TRAINING
+    statistics (reference reuses training envs for exactly this,
+    ppo_continuous_action.cpp:595-599) and collect num_eval_runs episodes
+    even when num_envs < num_eval_runs (autoreset keeps collecting)."""
+    from ppo_tpu.algos import ppo
+    from ppo_tpu.config import PPOConfig
+    from ppo_tpu.envs import VectorEnv, make_env
+    from ppo_tpu.models import GaussianActorCritic
+
+    cfg = PPOConfig(
+        env_id="HalfCheetah-v5", num_envs=2, num_steps=16, num_minibatches=2,
+        update_epochs=1, total_timesteps=64, solver_iterations=4, num_eval_runs=4,
+    )
+    env = make_env(cfg.env_id, dtype=jnp.float32, solver_iterations=cfg.solver_iterations)
+    venv = VectorEnv(env, cfg.num_envs, normalize_obs=True, normalize_reward=True)
+    model = GaussianActorCritic(act_dim=env.act_dim)
+    optimizer = ppo.make_optimizer(cfg)
+    rs = ppo.init_runner_state(cfg, venv, model, optimizer, jax.random.PRNGKey(0))
+    step = jax.jit(ppo.make_train_iteration(cfg, venv, model, optimizer))
+    for _ in range(cfg.num_iterations):
+        rs, _ = step(rs)
+
+    # carried statistics actually reach the eval env state
+    state, _ = venv.reset(jax.random.PRNGKey(5), norm_state=rs.env)
+    trained_mean = jax.device_get(rs.env.obs_rms.mean)
+    np.testing.assert_allclose(
+        jax.device_get(state.obs_rms.count), jax.device_get(rs.env.obs_rms.count) + 1
+    )
+    fresh, _ = venv.reset(jax.random.PRNGKey(5))
+    assert float(jnp.abs(state.obs_rms.mean - fresh.obs_rms.mean).max()) > 0
+
+    # episode count honored with fewer envs than requested episodes: shorten
+    # the truncation horizon so episodes end every 10 steps; 2 envs must still
+    # deliver the 4 requested episodes (autoreset keeps collecting)
+    env.max_episode_steps = 10
+    returns = ppo.evaluate(
+        cfg, venv, model, rs.params, jax.random.PRNGKey(1),
+        max_steps=10, norm_state=rs.env,
+    )
+    assert len(returns) == cfg.num_eval_runs
+
+
+def test_ppo_trainer_num_devices(tmp_path):
+    """The trainer CLI's --num_devices path: full train() over a 4-device
+    mesh (envs sharded, params replicated), the TPU-native `mpirun -n N`."""
+    from ppo_tpu.config import PPOConfig
+    from ppo_tpu.train_ppo import train
+
+    cfg = PPOConfig(
+        env_id="HalfCheetah-v5", num_envs=4, num_steps=16, num_minibatches=2,
+        update_epochs=1, total_timesteps=128, exp_folder=str(tmp_path),
+        solver_iterations=4, num_eval_runs=1, num_devices=4,
+    )
+    rs, returns = train(cfg, verbose=False)
+    assert int(rs.iteration) == cfg.num_iterations
+    leaf = jax.tree.leaves(rs.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)
+
+
 def test_gaussian_ppo_learns_quickly_on_cheetah():
     """Short learning sanity: losses finite, approx_kl sane, SPS positive —
     plus the policy visibly changes (update actually moves parameters)."""
