@@ -9,16 +9,19 @@ vs_baseline is value / 1e6 — the fraction of the >1M aggregate env-steps/s
 multi-host target from BASELINE.json (the reference publishes no numbers,
 README.md:82).
 
-Robustness: the tunneled TPU runtime used by the driver can enter a degraded
-dispatch mode (docs/PERF.md) in which even compilation crawls. The benchmark
-therefore measures in two stages:
-  1. a quick jitted single vector-step benchmark (small program, compiles in
-     ~1-2 min) — always produces a number;
-  2. the full 50-step scan loop in a SUBPROCESS with a hard timeout — the
-     representative measurement when the device is healthy.
-The larger valid measurement wins. Validity: timing uses block_until_ready on
-chained calls; the final state is fetched AFTER timing and the episode step
-counters are checked, so reported numbers correspond to real executed physics.
+MEASUREMENT VALIDITY (hard-learned): on the tunneled TPU runtime used here,
+`jax.block_until_ready` returns BEFORE remote execution finishes (measured: a
+chain of 4096^3 matmuls "timed" at >10,000 TFLOP/s that way). Every timed
+window in this file therefore ends with `jax.device_get` of a scalar that
+data-depends on the computation — the only fetch that provably waits for the
+work. Calls are chained (each rep's input depends on the previous rep's
+output) so reps cannot overlap, and the env state's step counters are checked
+afterwards so the reported number corresponds to real executed physics.
+
+Two stages (the tunneled runtime can enter a degraded dispatch mode,
+docs/PERF.md): a quick single-vector-step measurement that always produces a
+number, then the full 50-step scan loop in a subprocess with a hard timeout.
+The larger valid measurement wins.
 """
 
 import json
@@ -27,6 +30,13 @@ import statistics
 import subprocess
 import sys
 import time
+
+
+def _fetch(x) -> float:
+    """The only trustworthy sync point on this runtime (see module docstring)."""
+    import jax
+
+    return float(jax.device_get(x))
 
 
 def _quick(num_envs=4096, solver_iterations=8, reps=10):
@@ -54,22 +64,22 @@ def _quick(num_envs=4096, solver_iterations=8, reps=10):
         return state, obs, key, jnp.sum(reward)
 
     key = jax.random.PRNGKey(2)
-    state, obs, key, rsum = jax.block_until_ready(one(params, state, obs, key, consts))
+    state, obs, key, rsum = one(params, state, obs, key, consts)
+    _fetch(rsum)  # warmup + queue drain
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        state, obs, key, rsum = jax.block_until_ready(one(params, state, obs, key, consts))
+        state, obs, key, rsum = one(params, state, obs, key, consts)
+        _fetch(rsum)  # blocks until THIS rep's work is done
         times.append(time.perf_counter() - t0)
-    t_actual = int(jax.device_get(state.t[0]))
+    t_actual = int(_fetch(state.t[0]))
     assert t_actual == reps + 1, f"executed {t_actual} != {reps + 1}"
-    assert np.isfinite(float(jax.device_get(rsum)))
     return num_envs / statistics.median(times)
 
 
 def _full(num_envs=4096, steps=50, solver_iterations=8, warmup=2, reps=3):
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from ppo_tpu.envs import make_env
     from ppo_tpu.models import GaussianActorCritic
@@ -97,19 +107,20 @@ def _full(num_envs=4096, steps=50, solver_iterations=8, warmup=2, reps=3):
 
     key = jax.random.PRNGKey(2)
     for _ in range(warmup):
-        state, obs, key, rsum = jax.block_until_ready(loop(params, state, obs, key, consts))
+        state, obs, key, rsum = loop(params, state, obs, key, consts)
+    _fetch(rsum)  # drain compile + warmup queue
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        state, obs, key, rsum = jax.block_until_ready(loop(params, state, obs, key, consts))
+        state, obs, key, rsum = loop(params, state, obs, key, consts)
+        _fetch(rsum)
         times.append(time.perf_counter() - t0)
-    t_actual = int(jax.device_get(state.t[0]))
+    t_actual = int(_fetch(state.t[0]))
     assert t_actual == (warmup + reps) * steps, f"executed {t_actual}"
-    assert np.isfinite(float(jax.device_get(rsum)))
     return num_envs * steps / statistics.median(times)
 
 
-def bench(full_timeout=480):
+def bench(full_timeout=900):
     quick_sps = _quick()
     # full loop in a subprocess so a degraded-mode compile cannot hang the bench
     try:

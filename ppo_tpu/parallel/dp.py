@@ -39,6 +39,14 @@ AXIS = "dp"
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise RuntimeError(
+            f"mesh wants {n} devices but jax.devices() has {len(devs)}. For a "
+            "virtual CPU mesh set jax.config.update('jax_platforms', 'cpu') "
+            "and XLA_FLAGS=--xla_force_host_platform_device_count=N BEFORE "
+            "jax initializes (env-var JAX_PLATFORMS alone may not apply here "
+            "because the runtime imports jax early)."
+        )
     return Mesh(np.array(devs[:n]), (AXIS,))
 
 

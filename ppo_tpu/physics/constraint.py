@@ -12,11 +12,17 @@ validated empirically against mjData internals (efc_KBIP / efc_R / efc_aref):
     A_approx(contact, normal)  = invw = body_invweight0[b1,0] + body_invweight0[b2,0]
     A_approx(contact, pyramid) = invw * 2 mu_i^2 (1 + mu_i^2)
 
-Pyramidal rows per condim-3 contact: [n + mu1 t1, n - mu1 t1, n + mu2 t2,
-n - mu2 t2] (row order matches mjData); condim-1 contacts use the normal row
-only. The whole row set is statically shaped and fully vectorized: row layout is
-[L limit rows][S slots x 4 rows], with structurally-absent rows masked off by a
-static row mask, so the XLA graph stays compact regardless of slot count.
+Pyramidal rows per contact with condim c > 1: 2(c-1) rows, ordered as mjData
+orders them — [n +- mu_1 t1, n +- mu_2 t2] (sliding), then [n +- mu_3 rot_n]
+(torsional, condim >= 4), then [n +- mu_4 rot_t1, n +- mu_5 rot_t2] (rolling,
+condim 6) — where mu is the contact's 5-vector friction and rot_* axes engage
+the *rotational* point jacobian. condim-1 contacts use the normal row only.
+R/diagApprox for every pyramidal row uses friction[0] and the translational
+invweight (verified against mjData.efc_R for condim 3/4/6). The whole row set
+is statically shaped and fully vectorized: row layout is [L limit rows][S
+slots x R rows] (R = model max rows per contact), with structurally-absent
+rows masked off by a static row mask, so the XLA graph stays compact
+regardless of slot count.
 """
 
 from __future__ import annotations
@@ -47,11 +53,11 @@ class EfcMeta(NamedTuple):
     lim_solimp: np.ndarray      # [L, 5]
     lim_onehot: np.ndarray      # [L, nv]
     lim_invw: np.ndarray        # [L]
-    # contacts [S]
+    # contacts [S]; R = max pyramid rows over slots (1 / 4 / 6 / 10)
     con_maskdiff: np.ndarray    # [S, nv]  (mask[b2] - mask[b1])
-    con_C: np.ndarray           # [S, 4, 3] pyramid row combinations over (n, t1, t2)
-    con_rowmask: np.ndarray     # [S, 4] structural row presence
-    con_approx: np.ndarray      # [S, 4] diag approximations
+    con_C: np.ndarray           # [S, R, 6] row combos over (n, t1, t2, rn, rt1, rt2)
+    con_rowmask: np.ndarray     # [S, R] structural row presence
+    con_approx: np.ndarray      # [S, R] diag approximations
     con_K: np.ndarray           # [S]
     con_B: np.ndarray           # [S]
     con_solimp: np.ndarray      # [S, 5]
@@ -59,8 +65,10 @@ class EfcMeta(NamedTuple):
     # combined layout
     n_limit: int
     n_slots: int
-    is_contact: np.ndarray      # [L + 4S]
-    slot_id: np.ndarray         # [L + 4S] (-1 for limits)
+    n_rows: int                 # R: pyramid rows per slot
+    needs_jacr: bool            # any slot with condim > 3 (rotational jacobian)
+    is_contact: np.ndarray      # [L + RS]
+    slot_id: np.ndarray         # [L + RS] (-1 for limits)
 
 
 class Efc(NamedTuple):
@@ -94,32 +102,41 @@ def make_efc_meta(m: Model, slots: ContactSlots, mask: np.ndarray) -> EfcMeta:
     for i, j in enumerate(lim):
         lim_onehot[i, m.jnt_dofadr[j]] = 1.0
         lim_K[i], lim_B[i] = _kb(m.jnt_solref[j], m.jnt_solimp[j])
-    # contacts
+    # contacts: R = max pyramid rows over slots (1 for condim 1, 2(c-1) else)
     S = len(slots.geom1)
+    R = 1
+    for s in range(S):
+        c = int(slots.condim[s])
+        R = max(R, 1 if c == 1 else 2 * (c - 1))
     con_maskdiff = np.zeros((S, m.nv))
-    con_C = np.zeros((S, 4, 3))
-    con_rowmask = np.zeros((S, 4))
-    con_approx = np.zeros((S, 4))
+    con_C = np.zeros((S, R, 6))
+    con_rowmask = np.zeros((S, R))
+    con_approx = np.zeros((S, R))
     con_K = np.zeros(S)
     con_B = np.zeros(S)
     for s in range(S):
         b1, b2 = slots.body1[s], slots.body2[s]
         con_maskdiff[s] = mask[b2].astype(float) - mask[b1].astype(float)
-        mu = slots.friction[s]
+        mu = slots.friction[s]            # 5-vector [s, s, t, r, r]
         invw = m.body_invweight0[b1, 0] + m.body_invweight0[b2, 0]
-        if slots.condim[s] == 1:
-            con_C[s, 0] = (1.0, 0.0, 0.0)
+        c = int(slots.condim[s])
+        if c == 1:
+            con_C[s, 0, 0] = 1.0
             con_rowmask[s, 0] = 1.0
             con_approx[s, 0] = invw
         else:
-            con_C[s] = [(1, mu[0], 0), (1, -mu[0], 0), (1, 0, mu[1]), (1, 0, -mu[1])]
-            con_rowmask[s] = 1.0
-            for r in range(4):
-                mui = mu[r // 2]
-                con_approx[s, r] = invw * 2 * mui * mui * (1 + mui * mui)
+            # every pyramidal row's diag approximation uses friction[0]
+            # (verified vs mjData.efc_R for condim 3/4/6)
+            approx = invw * 2 * mu[0] * mu[0] * (1 + mu[0] * mu[0])
+            for i in range(c - 1):        # friction axis i -> frame axis i+1
+                for sgn, r in ((1.0, 2 * i), (-1.0, 2 * i + 1)):
+                    con_C[s, r, 0] = 1.0
+                    con_C[s, r, i + 1] = sgn * mu[i]
+                    con_rowmask[s, r] = 1.0
+                    con_approx[s, r] = approx
         con_K[s], con_B[s] = _kb(slots.solref[s], slots.solimp[s])
-    is_contact = np.concatenate([np.zeros(L, bool), np.ones(4 * S, bool)])
-    slot_id = np.concatenate([np.full(L, -1, int), np.repeat(np.arange(S), 4)])
+    is_contact = np.concatenate([np.zeros(L, bool), np.ones(R * S, bool)])
+    slot_id = np.concatenate([np.full(L, -1, int), np.repeat(np.arange(S), R)])
     return EfcMeta(
         lim_qadr=m.jnt_qposadr[lim], lim_dadr=m.jnt_dofadr[lim],
         lim_lo=m.jnt_range[lim, 0] if L else np.zeros(0),
@@ -132,7 +149,9 @@ def make_efc_meta(m: Model, slots: ContactSlots, mask: np.ndarray) -> EfcMeta:
         con_maskdiff=con_maskdiff, con_C=con_C, con_rowmask=con_rowmask,
         con_approx=con_approx, con_K=con_K, con_B=con_B,
         con_solimp=np.asarray(slots.solimp), con_margin=np.asarray(slots.margin),
-        n_limit=L, n_slots=S, is_contact=is_contact, slot_id=slot_id,
+        n_limit=L, n_slots=S, n_rows=R,
+        needs_jacr=bool(S and np.any(np.asarray(slots.condim) > 3)),
+        is_contact=is_contact, slot_id=slot_id,
     )
 
 
@@ -187,6 +206,7 @@ def make_efc(
         parts_imp.append(imp)
 
     if S:
+        NR = meta.n_rows
         dof_root = getattr(m, "dof_root_c", None)
         if dof_root is None:
             dof_root = np.maximum(m.body_rootid[m.dof_bodyid], 0)
@@ -195,9 +215,18 @@ def make_efc(
         jacp = com.cdof[None, :, 3:] + jnp.cross(
             com.cdof[None, :, :3], contacts.pos[:, None, :] - origins[None, :, :]
         )
-        jacd = jnp.asarray(meta.con_maskdiff, dtype)[:, :, None] * jacp
+        maskdiff = jnp.asarray(meta.con_maskdiff, dtype)[:, :, None]
+        jacd = maskdiff * jacp
         Jf = jnp.einsum("skb,snb->skn", contacts.frame, jacd)       # [S, 3, nv]
-        Jrows = jnp.einsum("srk,skn->srn", jnp.asarray(meta.con_C, dtype), Jf)  # [S,4,nv]
+        conC = jnp.asarray(meta.con_C, dtype)
+        if meta.needs_jacr:
+            # torsional/rolling rows engage the rotational point jacobian
+            jacr = maskdiff * com.cdof[None, :, :3]                 # [S, nv, 3]
+            Jr = jnp.einsum("skb,snb->skn", contacts.frame, jacr)   # [S, 3, nv]
+            Jax = jnp.concatenate([Jf, Jr], axis=1)                 # [S, 6, nv]
+            Jrows = jnp.einsum("srk,skn->srn", conC, Jax)           # [S, NR, nv]
+        else:
+            Jrows = jnp.einsum("srk,skn->srn", conC[:, :, :3], Jf)
         vel = jnp.einsum("srn,n->sr", Jrows, qvel)
         rm = jnp.asarray(meta.con_rowmask, dtype)
 
@@ -210,12 +239,12 @@ def make_efc(
         R = ((1.0 - imp) / imp)[:, None] * jnp.asarray(meta.con_approx, dtype)
         active = contacts.active[:, None] & (rm > 0)
         actf = active.astype(dtype)
-        parts_J.append((Jrows * actf[:, :, None]).reshape(4 * S, m.nv))
-        parts_R.append(jnp.where(active, R, 1.0).reshape(4 * S))
-        parts_aref.append((aref * actf).reshape(4 * S))
-        parts_pos.append(jnp.broadcast_to(contacts.dist[:, None], (S, 4)).reshape(4 * S))
-        parts_act.append(active.reshape(4 * S))
-        parts_imp.append(jnp.broadcast_to(imp[:, None], (S, 4)).reshape(4 * S))
+        parts_J.append((Jrows * actf[:, :, None]).reshape(NR * S, m.nv))
+        parts_R.append(jnp.where(active, R, 1.0).reshape(NR * S))
+        parts_aref.append((aref * actf).reshape(NR * S))
+        parts_pos.append(jnp.broadcast_to(contacts.dist[:, None], (S, NR)).reshape(NR * S))
+        parts_act.append(active.reshape(NR * S))
+        parts_imp.append(jnp.broadcast_to(imp[:, None], (S, NR)).reshape(NR * S))
 
     if not parts_J:
         return Efc(

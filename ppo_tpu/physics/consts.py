@@ -28,7 +28,7 @@ MODEL_FIELDS = [
     "body_inertia", "qpos0", "qpos_spring", "jnt_pos", "jnt_axis",
     "dof_armature", "dof_damping", "actuator_ctrlrange", "geom_pos", "geom_quat",
 ]
-SLOT_FIELDS = ["size1", "size2", "includemargin", "margin", "point", "friction"]
+SLOT_FIELDS = ["size1", "size2", "includemargin", "margin", "point", "friction", "corner"]
 META_FIELDS = [
     "lim_onehot", "lim_lo", "lim_hi", "lim_margin", "lim_K", "lim_B",
     "lim_solimp", "lim_invw", "con_maskdiff", "con_C", "con_rowmask",
@@ -57,14 +57,11 @@ def extract(m, ctx, dtype=jnp.float32) -> dict:
     c["m.geom_bodyid_c"] = jnp.asarray(m.geom_bodyid, jnp.int32)
     c["m.body_root_c"] = jnp.asarray(np.maximum(m.body_rootid, 0), jnp.int32)
     c["m.dof_root_c"] = jnp.asarray(np.maximum(m.body_rootid[m.dof_bodyid], 0), jnp.int32)
-    # collider kind masks (float selectors)
-    k = ctx.slots.kind
-    from ppo_tpu.physics.collision import (
-        K_CAPSULE_CAPSULE, K_PLANE_CAPSULE, K_PLANE_SPHERE, K_SPHERE_CAPSULE)
-    c["s.is_plane"] = jnp.asarray((k == K_PLANE_SPHERE) | (k == K_PLANE_CAPSULE))
-    c["s.is_pc"] = jnp.asarray(k == K_PLANE_CAPSULE)
-    c["s.is_sc"] = jnp.asarray(k == K_SPHERE_CAPSULE)
-    c["s.is_cc"] = jnp.asarray(k == K_CAPSULE_CAPSULE)
+    # collider kind masks (bool selectors)
+    from ppo_tpu.physics.collision import make_kind_masks
+
+    for name, v in make_kind_masks(ctx.slots.kind).items():
+        c[f"s.{name}"] = jnp.asarray(v)
     return c
 
 
@@ -82,7 +79,9 @@ def inject(m, ctx, consts: dict):
         **{f: consts[f"s.{f}"] for f in SLOT_FIELDS + INT_SLOT_FIELDS}
     )
     meta2 = ctx.meta._replace(**{f: consts[f"e.{f}"] for f in META_FIELDS + INT_META_FIELDS})
-    kind_masks = {k: consts[f"s.{k}"] for k in ("is_plane", "is_pc", "is_sc", "is_cc")}
+    from ppo_tpu.physics.collision import KIND_MASK_NAMES
+
+    kind_masks = {k: consts[f"s.{k}"] for k in KIND_MASK_NAMES}
     ctx2 = ctx._replace(
         slots=slots2, meta=meta2, mask=consts["anc_mask"], kind_masks=kind_masks
     )

@@ -78,7 +78,11 @@ def forward(m: Model, qpos, qvel, ctrl, ctx: StepContext | None = None, iteratio
     ne = efc.J.shape[0]
     if ne and solver_type == "newton":
         D = 1.0 / efc.R
-        f, qacc = solver.solve_newton(M, efc.J, D, efc.aref, qacc_smooth, iterations, x0=warmstart)
+        # custom-vmap'd solver: identical math single-env; under vmap it
+        # dispatches to the lane-major Pallas kernel (solver.py docstring)
+        nt = solver._newton_cv(iterations, 8)
+        x0 = qacc_smooth if warmstart is None else warmstart
+        f, qacc = nt(M, efc.J, D, efc.aref, qacc_smooth, x0)
         qfrc_constraint = efc.J.T @ f
     elif ne:
         MiJT = jax.scipy.linalg.cho_solve(Mchol, efc.J.T)      # [nv, ne]
@@ -180,22 +184,21 @@ def make_step_fn(m: Model, iterations=None, solver_type="newton"):
 
 
 def contact_forces(fwd: ForwardOut):
-    """World-frame contact force per slot [S, 3] recovered from pyramid rows."""
+    """World-frame contact (force, torque) per slot ([S, 3], [S, 3]) recovered
+    from pyramid rows: each row's generalized direction is exactly its con_C
+    combination over the 6 contact-frame axes, so the frame-space wrench is
+    con_C^T f_rows (equals mj_contactForce's decoding for every condim)."""
     meta = fwd.efc.meta
     S = meta.n_slots
+    dtype = fwd.qacc.dtype
     if S == 0:
-        return jnp.zeros((0, 3), fwd.qacc.dtype)
-    f_rows = fwd.efc_force[meta.n_limit :].reshape(S, 4)
+        return jnp.zeros((0, 3), dtype), jnp.zeros((0, 3), dtype)
+    f_rows = fwd.efc_force[meta.n_limit :].reshape(S, meta.n_rows)
     frame = fwd.contacts.frame
-    mu = jnp.asarray(fwd.contacts.friction, fwd.qacc.dtype)
-    # condim-1 slots have a single pure-normal row (no pyramid decomposition)
-    pyramidal = jnp.asarray(meta.con_rowmask[:, 1], fwd.qacc.dtype)
-    normal = jnp.sum(f_rows, -1)
-    t1 = pyramidal * mu[:, 0] * (f_rows[:, 0] - f_rows[:, 1])
-    t2 = pyramidal * mu[:, 1] * (f_rows[:, 2] - f_rows[:, 3])
-    return (
-        frame[:, 0] * normal[:, None] + frame[:, 1] * t1[:, None] + frame[:, 2] * t2[:, None]
-    )
+    wrench = jnp.einsum("sr,srk->sk", f_rows, jnp.asarray(meta.con_C, dtype))  # [S, 6]
+    force = jnp.einsum("sk,skj->sj", wrench[:, :3], frame)
+    torque = jnp.einsum("sk,skj->sj", wrench[:, 3:], frame)
+    return force, torque
 
 
 def rne_post_constraint(m: Model, com, vel, fwd: ForwardOut, mask=None):
@@ -208,14 +211,16 @@ def rne_post_constraint(m: Model, com, vel, fwd: ForwardOut, mask=None):
     cfrc_ext = jnp.zeros((m.nbody, 6), dtype)
     if S == 0:
         return cfrc_ext
-    force = contact_forces(fwd)                         # [S, 3]
+    force, contact_torque = contact_forces(fwd)         # [S, 3] each
     rootid = getattr(m, "body_root_c", None)
     if rootid is None:
         rootid = np.maximum(m.body_rootid, 0)
     origins = com.subtree_com[rootid]                   # [nbody, 3]
     pos = fwd.contacts.pos
     for bodies, sign in ((slots.body1, -1.0), (slots.body2, 1.0)):
-        fb = sign * force * jnp.asarray(bodies != 0, dtype)[:, None]
-        torque = jnp.cross(pos - origins[bodies], fb)
+        nw = jnp.asarray(bodies != 0, dtype)[:, None]
+        fb = sign * force * nw
+        tb = sign * contact_torque * nw
+        torque = jnp.cross(pos - origins[bodies], fb) + tb
         cfrc_ext = cfrc_ext.at[bodies].add(jnp.concatenate([torque, fb], -1))
     return cfrc_ext

@@ -19,7 +19,7 @@ import xml.etree.ElementTree as ET
 
 import numpy as np
 
-from ppo_tpu.physics.types import CAPSULE, EULER, FREE, HINGE, PLANE, RK4, SLIDE, SPHERE
+from ppo_tpu.physics.types import BOX, CAPSULE, EULER, FREE, HINGE, PLANE, RK4, SLIDE, SPHERE
 
 # ---------------------------------------------------------------------------
 # numpy quaternion helpers (compile-time only)
@@ -209,7 +209,7 @@ _GEOM_DEFAULTS = {
 _MOTOR_DEFAULTS = {"gear": "1", "ctrlrange": "0 0", "ctrllimited": "false"}
 
 _JNT_TYPE = {"free": FREE, "slide": SLIDE, "hinge": HINGE}
-_GEOM_TYPE = {"plane": PLANE, "sphere": SPHERE, "capsule": CAPSULE}
+_GEOM_TYPE = {"plane": PLANE, "sphere": SPHERE, "capsule": CAPSULE, "box": BOX}
 _JNT_NDOF = {FREE: 6, SLIDE: 1, HINGE: 1}
 _JNT_NQ = {FREE: 7, SLIDE: 1, HINGE: 1}
 
@@ -274,6 +274,10 @@ def _geom_mass_inertia(gtype, size, density):
         ix_sph = 2.0 * (i_hemi_com + (ms / 2.0) * d * d)
         ix = ix_cyl + ix_sph
         return m, np.array([ix, ix, iz])
+    if gtype == BOX:
+        sx, sy, sz = size[0], size[1], size[2]
+        m = density * 8.0 * sx * sy * sz
+        return m, m / 3.0 * np.array([sy * sy + sz * sz, sx * sx + sz * sz, sx * sx + sy * sy])
     if gtype == PLANE:
         return 0.0, np.zeros(3)
     raise ValueError(f"unsupported geom type {gtype}")
@@ -381,7 +385,25 @@ def load_model(path_or_string: str) -> Model:
         )
         first_jnt = True
         for child in el:
-            if child.tag == "joint":
+            if child.tag == "freejoint":
+                # <freejoint/> = <joint type="free"/> shorthand (no other attrs)
+                joints.append(
+                    dict(
+                        name=child.get("name", f"jnt{len(joints)}"),
+                        type=FREE, bodyid=body_id, pos=np.zeros(3),
+                        axis=np.array([0.0, 0.0, 1.0]), limited=False,
+                        range=np.zeros(2), stiffness=0.0, damping=0.0,
+                        armature=0.0, ref=0.0, springref=0.0,
+                        solref=_floats(_JOINT_DEFAULTS["solreflimit"], 2),
+                        solimp=_floats(_JOINT_DEFAULTS["solimplimit"], 5),
+                        margin=0.0,
+                    )
+                )
+                if first_jnt:
+                    bodies[body_id]["jntadr"] = len(joints) - 1
+                    first_jnt = False
+                bodies[body_id]["jntnum"] += 1
+            elif child.tag == "joint":
                 a = _Attrs(child, defaults["joint"], _JOINT_DEFAULTS)
                 jtype = _JNT_TYPE[a.get("type")]
                 limited_attr = a.get("limited")

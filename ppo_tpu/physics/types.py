@@ -4,7 +4,7 @@
 FREE, BALL, SLIDE, HINGE = 0, 1, 2, 3
 
 # geom types (subset we support; values match mjtGeom for easy cross-checks)
-PLANE, SPHERE, CAPSULE = 0, 2, 3
+PLANE, SPHERE, CAPSULE, BOX = 0, 2, 3, 6
 
 # integrators
 EULER, RK4 = 0, 1
