@@ -12,9 +12,16 @@ Prints one JSON line per mesh size:
 
 import json
 import statistics
+import sys
 import time
 
 import jax
+
+if "--cpu" in sys.argv:
+    # JAX_PLATFORMS env is overridden by the accelerator plugin on this image;
+    # the config update is the only reliable platform switch (see tests/conftest.py)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 

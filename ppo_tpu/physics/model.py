@@ -162,6 +162,7 @@ class Model:
     geom_solimp: np.ndarray
     geom_solmix: np.ndarray
     geom_priority: np.ndarray
+    geom_rgba: np.ndarray
     # actuators
     actuator_trnid: np.ndarray
     actuator_gear: np.ndarray
@@ -205,6 +206,7 @@ _GEOM_DEFAULTS = {
     "solimp": "0.9 0.95 0.001 0.5 2",
     "solmix": "1",
     "priority": "0",
+    "rgba": "0.5 0.5 0.5 1",
 }
 _MOTOR_DEFAULTS = {"gear": "1", "ctrlrange": "0 0", "ctrllimited": "false"}
 
@@ -367,6 +369,7 @@ def load_model(path_or_string: str) -> Model:
                 solimp=a.f("solimp", 5, fill=_floats(_GEOM_DEFAULTS["solimp"], 5)),
                 solmix=a.scalar("solmix"),
                 priority=int(a.scalar("priority")),
+                rgba=a.f("rgba", 4, fill=_floats(_GEOM_DEFAULTS["rgba"], 4)),
             )
         )
 
@@ -634,6 +637,7 @@ def load_model(path_or_string: str) -> Model:
         geom_solimp=np.array([g["solimp"] for g in geoms]),
         geom_solmix=np.array([g["solmix"] for g in geoms]),
         geom_priority=np.array([g["priority"] for g in geoms], int),
+        geom_rgba=np.array([g["rgba"] for g in geoms]),
         actuator_trnid=np.array(act_trnid, int),
         actuator_gear=np.array(act_gear),
         actuator_ctrlrange=np.array(act_ctrlrange).reshape(nu, 2),

@@ -64,8 +64,22 @@ def latest_checkpoint(folder: str | os.PathLike):
 
 
 def restore_state(path: str | os.PathLike, target):
-    """Restore into a template pytree with the same structure."""
-    return serialization.from_bytes(target, Path(path).read_bytes())
+    """Restore into a template pytree with the same structure.
+
+    Fields present in the template but absent from the file (e.g. state added
+    in a newer engine version) keep their template values, so old checkpoints
+    stay loadable.
+    """
+    raw = serialization.msgpack_restore(Path(path).read_bytes())
+    tmpl = serialization.to_state_dict(target)
+
+    def merge(t, r):
+        if isinstance(t, dict):
+            return {k: (merge(v, r[k]) if isinstance(r, dict) and k in r else v)
+                    for k, v in t.items()}
+        return r if r is not None else t
+
+    return serialization.from_state_dict(target, merge(tmpl, raw))
 
 
 def resolve_checkpoint(path: str | os.PathLike):
