@@ -45,6 +45,9 @@ class CNNConfig(PPOConfig):
     image_encoder: str = "roach_ln"
     beta_min_a_b_value: float = 1.0
     resume: bool = False
+    # debug-viz equivalent of the reference's visualize_model cv window
+    # (carla_model.h:336-552): every N iterations write viz_%09d.png for env 0
+    visualize_interval: int = 0
 
 
 def make_fns(cfg: CNNConfig, venv: DictVectorEnv, model, optimizer):
@@ -195,6 +198,23 @@ def train(cfg: CNNConfig, verbose: bool = True):
             print(f"iter {iteration}/{cfg.num_iterations} SPS {sps}")
         if cfg.checkpoint_every and iteration % cfg.checkpoint_every == 0:
             ckpt.save_state({"params": params, "opt_state": opt_state}, folder, iteration)
+        if cfg.visualize_interval and iteration % cfg.visualize_interval == 0:
+            from PIL import Image
+
+            from ppo_tpu.models.debug_viz import visualize_model
+
+            o = jax.device_get(jax.tree.map(lambda x: x[0], obs))
+            alpha, beta, value = jax.device_get(model.apply(
+                params, o["bev_semantics"][None], o["measurements"][None],
+                o["value_measurements"][None],
+            ))
+            frame = visualize_model(
+                o["bev_semantics"], o["measurements"], o["value_measurements"],
+                alpha[0], beta[0], alpha[0] / (alpha[0] + beta[0]), float(value[0]),
+            )
+            Image.fromarray(frame).save(
+                os.path.join(folder, f"viz_{iteration:09d}.png")
+            )
 
     ckpt.save_final({"params": params, "opt_state": opt_state}, folder)
     writer.close()
