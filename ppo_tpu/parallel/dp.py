@@ -25,7 +25,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ppo_tpu.algos import ppo
@@ -128,7 +128,7 @@ def make_distributed_train_iteration(cfg: PPOConfig, venv_local: VectorEnv, mode
         )
         f = shard_map(
             device_fn, mesh=mesh, in_specs=(specs,), out_specs=(specs, out_specs),
-            check_rep=False,
+            check_vma=False,
         )
         return f(rs)
 
