@@ -133,3 +133,83 @@ def make_distributed_train_iteration(cfg: PPOConfig, venv_local: VectorEnv, mode
         return f(rs)
 
     return run
+
+
+# --- AC-style (separate collect/update) data parallelism --------------------
+# Used by train_ac_ppo and train_cnn: the two closures are shard_map'd
+# independently so the host can pipeline them (collect iteration k+1 while
+# updating with rollout k), preserving the reference AC-PPO's structure
+# (src/ac_ppo_continuous_action.cpp:624-890) with pmean in place of NCCL.
+
+def env_state_specs(env_state):
+    """Partition specs for a VectorState/DictVectorState: env axis sharded,
+    unbatched model constants replicated."""
+    specs = jax.tree.map(lambda _: P(AXIS), env_state)
+    consts = getattr(env_state, "consts", None)
+    if consts is not None:
+        specs = specs.replace(consts=jax.tree.map(lambda _: P(), consts))
+    return specs
+
+
+def _rollout_specs():
+    from ppo_tpu.algos.ac_ppo import Rollout
+
+    return Rollout(
+        obs=P(None, AXIS), dones=P(None, AXIS), actions=P(None, AXIS),
+        logprobs=P(None, AXIS), values=P(None, AXIS), rewards=P(None, AXIS),
+        next_obs=P(AXIS), next_done=P(AXIS), infos=P(None, AXIS),
+    )
+
+
+def shard_ac_fns(mesh: Mesh, collect_local, update_local, env_specs):
+    """shard_map-wrap AC-style closures built for the LOCAL env count.
+
+    collect_local(params, env_state, obs, done, key) -> (env_state, obs, done,
+    key, Rollout) with a per-device key (stacked [n, 2] at the global level);
+    update_local must be built with axis_name=AXIS so gradients are pmean'd
+    before clipping and advantage normalization is distributed.
+    """
+    ro_specs = _rollout_specs()
+
+    def collect_dev(params, env_state, obs, done, key):
+        env_state, obs, done, k, ro = collect_local(params, env_state, obs, done, key[0])
+        return env_state, obs, done, k[None], ro
+
+    collect = shard_map(
+        collect_dev, mesh=mesh,
+        in_specs=(P(), env_specs, P(AXIS), P(AXIS), P(AXIS)),
+        out_specs=(env_specs, P(AXIS), P(AXIS), P(AXIS), ro_specs),
+        check_vma=False,
+    )
+
+    def update_dev(params, opt_state, ro, key):
+        params, opt_state, stats = update_local(params, opt_state, ro, key)
+        # metric allreduce before logging (ac_ppo...cpp:894-901)
+        return params, opt_state, jax.tree.map(lambda x: jax.lax.pmean(x, AXIS), stats)
+
+    update = shard_map(
+        update_dev, mesh=mesh,
+        in_specs=(P(), P(), ro_specs, P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(collect), jax.jit(update, donate_argnums=(0, 1))
+
+
+def shard_ac_state(mesh: Mesh, env_state, obs, done, key, params, opt_state):
+    """Place globally-initialized state onto the mesh: env axis sharded,
+    params/optimizer replicated (same-key init ≙ rank-0 broadcast,
+    ac_ppo...cpp:551-553), one collection key per mesh slot."""
+    def put(tree, specs):
+        sh = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                          is_leaf=lambda x: isinstance(x, P))
+        return jax.device_put(tree, sh)
+
+    n = mesh.shape[AXIS]
+    env_state = put(env_state, env_state_specs(env_state))
+    obs = put(obs, jax.tree.map(lambda _: P(AXIS), obs))
+    done = put(done, P(AXIS))
+    keys = put(jax.random.split(key, n), P(AXIS))
+    params = put(params, jax.tree.map(lambda _: P(), params))
+    opt_state = put(opt_state, jax.tree.map(lambda _: P(), opt_state))
+    return env_state, obs, done, keys, params, opt_state

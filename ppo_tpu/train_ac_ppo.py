@@ -74,8 +74,28 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
         print("observation_std  =", np.array2string(std, separator=", "))
         return None, None
 
-    collect = jax.jit(ac_ppo.make_collect_fn(cfg, venv, model))
-    update = jax.jit(ac_ppo.make_update_fn(cfg, model, optimizer), donate_argnums=(0, 1))
+    if cfg.num_devices > 1:
+        # mesh data parallelism: env shards per device, pmean'd grads — the
+        # reference's mpirun multi-GPU path (ac_ppo...cpp:281-407)
+        from ppo_tpu.parallel import dp
+
+        mesh = dp.make_mesh(cfg.num_devices)
+        cfg_local = dp.local_config(cfg, cfg.num_devices)
+        venv_local = VectorEnv(env, cfg_local.num_envs, clip_actions=True)
+        key, k_coll = jax.random.split(key)
+        env_state, obs, done0, ckey, params, opt_state = dp.shard_ac_state(
+            mesh, env_state, obs, jnp.zeros(venv.num_envs, bool), k_coll, params, opt_state
+        )
+        collect, update = dp.shard_ac_fns(
+            mesh,
+            ac_ppo.make_collect_fn(cfg_local, venv_local, model),
+            ac_ppo.make_update_fn(cfg_local, model, optimizer, axis_name=dp.AXIS),
+            dp.env_state_specs(env_state),
+        )
+    else:
+        ckey = None
+        collect = jax.jit(ac_ppo.make_collect_fn(cfg, venv, model))
+        update = jax.jit(ac_ppo.make_update_fn(cfg, model, optimizer), donate_argnums=(0, 1))
 
     # resume model+optimizer, iteration parsed from filename (ac_ppo_carla.cpp:226-255)
     start_iter = 1
@@ -85,7 +105,7 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
         start_iter = resume_it + 1
         writer.add_scalar("charts/restart", 1.0, (start_iter - 1) * cfg.batch_size)
 
-    done = jnp.zeros(venv.num_envs, bool)
+    done = done0 if cfg.num_devices > 1 else jnp.zeros(venv.num_envs, bool)
     pending = None  # rollout awaiting its update (pipelined mode)
     global_step = (start_iter - 1) * cfg.batch_size
     start = time.time()
@@ -95,7 +115,10 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
     for iteration in range(start_iter, cfg.num_iterations + 1):
         key, k_up = jax.random.split(key)
         # dispatch collection with the CURRENT policy snapshot
-        env_state, obs, done, key, rollout = collect(params, env_state, obs, done, key)
+        if ckey is not None:  # DP mode threads a per-device key stack
+            env_state, obs, done, ckey, rollout = collect(params, env_state, obs, done, ckey)
+        else:
+            env_state, obs, done, key, rollout = collect(params, env_state, obs, done, key)
         if cfg.pipelined:
             # update consumes the PREVIOUS rollout -> XLA may overlap it with
             # the in-flight collection (policy one iteration stale, like AC-PPO)

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ppo_tpu.algos import ppo
+from ppo_tpu.algos import ac_ppo, ppo
 from ppo_tpu.config import PPOConfig, parse_config
 from ppo_tpu.envs.synthetic_driving import SyntheticDriving
 from ppo_tpu.envs.vector import DictVectorEnv
@@ -50,7 +50,7 @@ class CNNConfig(PPOConfig):
     visualize_interval: int = 0
 
 
-def make_fns(cfg: CNNConfig, venv: DictVectorEnv, model, optimizer):
+def make_collect_fn(cfg: CNNConfig, venv: DictVectorEnv, model):
     def collect(params, env_state, obs, done, key):
         def step(carry, _):
             env_state, obs, done, key = carry
@@ -64,24 +64,35 @@ def make_fns(cfg: CNNConfig, venv: DictVectorEnv, model, optimizer):
         (env_state, next_obs, next_done, key), tr = jax.lax.scan(
             step, (env_state, obs, done, key), None, length=cfg.num_steps
         )
-        return env_state, next_obs, next_done, key, tr
+        obs_t, dones, actions, logprobs, values, rewards, infos = tr
+        rollout = ac_ppo.Rollout(
+            obs=obs_t, dones=dones, actions=actions, logprobs=logprobs,
+            values=values, rewards=rewards, next_obs=next_obs,
+            next_done=next_done, infos=infos,
+        )
+        return env_state, next_obs, next_done, key, rollout
 
-    def update(params, opt_state, tr, next_obs, next_done, key):
-        obs, dones, actions, logprobs, values, rewards, _ = tr
+    return collect
+
+
+def make_update_fn(cfg: CNNConfig, model, optimizer, axis_name=None):
+    def update(params, opt_state, rollout: ac_ppo.Rollout, key):
+        next_obs = rollout.next_obs
         next_value = model.apply(
             params, next_obs["bev_semantics"], next_obs["measurements"], next_obs["value_measurements"]
         )[2]
         advantages, returns = compute_gae(
-            rewards, values, dones, next_value, next_done.astype(values.dtype),
+            rollout.rewards, rollout.values, rollout.dones, next_value,
+            rollout.next_done.astype(rollout.values.dtype),
             cfg.gamma, cfg.gae_lambda,
         )
-        B = cfg.num_steps * cfg.num_envs
-        flat_obs = jax.tree.map(lambda x: x.reshape((B,) + x.shape[2:]), obs)
-        b_actions = actions.reshape(B, -1)
-        b_logprobs = logprobs.reshape(B)
+        B = rollout.values.shape[0] * rollout.values.shape[1]  # local batch
+        flat_obs = jax.tree.map(lambda x: x.reshape((B,) + x.shape[2:]), rollout.obs)
+        b_actions = rollout.actions.reshape(B, -1)
+        b_logprobs = rollout.logprobs.reshape(B)
         b_adv = advantages.reshape(B)
         b_ret = returns.reshape(B)
-        b_val = values.reshape(B)
+        b_val = rollout.values.reshape(B)
         mb = B // cfg.num_minibatches
 
         def update_mb(carry, inds):
@@ -95,7 +106,9 @@ def make_fns(cfg: CNNConfig, venv: DictVectorEnv, model, optimizer):
                     flat_obs["value_measurements"][inds],
                     action=b_actions[inds],
                 )
-                adv = normalize_advantages(b_adv[inds]) if cfg.norm_adv else b_adv[inds]
+                adv = b_adv[inds]
+                if cfg.norm_adv:
+                    adv = normalize_advantages(adv, axis_name=axis_name)
                 stats = ppo_losses(
                     newlogprob, b_logprobs[inds], entropy, newvalue, b_val[inds],
                     adv, b_ret[inds], cfg.clip_coef, cfg.ent_coef, cfg.vf_coef, cfg.clip_vloss,
@@ -103,6 +116,9 @@ def make_fns(cfg: CNNConfig, venv: DictVectorEnv, model, optimizer):
                 return stats.total_loss, stats
 
             grads, stats = jax.grad(loss_fn, has_aux=True)(params)
+            if axis_name is not None:
+                # grad allreduce BEFORE clipping (ac_ppo_carla.cpp:608-619)
+                grads = jax.lax.pmean(grads, axis_name)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             return (optax.apply_updates(params, updates), opt_state), stats
 
@@ -115,7 +131,14 @@ def make_fns(cfg: CNNConfig, venv: DictVectorEnv, model, optimizer):
         )
         return params, opt_state, jax.tree.map(lambda x: x[-1, -1], stats)
 
-    return jax.jit(collect), jax.jit(update, donate_argnums=(0, 1))
+    return update
+
+
+def make_fns(cfg: CNNConfig, venv: DictVectorEnv, model, optimizer):
+    return (
+        jax.jit(make_collect_fn(cfg, venv, model)),
+        jax.jit(make_update_fn(cfg, model, optimizer), donate_argnums=(0, 1)),
+    )
 
 
 def train(cfg: CNNConfig, verbose: bool = True):
@@ -162,8 +185,28 @@ def train(cfg: CNNConfig, verbose: bool = True):
             start_iter = it + 1
             writer.add_scalar("charts/restart", 1.0, it * cfg.batch_size)  # restart marker
 
-    collect, update = make_fns(cfg, venv, model, optimizer)
     done = jnp.zeros(cfg.num_envs, bool)
+    ckey = None
+    if cfg.num_devices > 1:
+        # CNN policy with multi-host psum grad sync: env shards per device,
+        # replicated params, pmean'd grads (the ac_ppo_carla mpirun path)
+        from ppo_tpu.parallel import dp
+
+        mesh = dp.make_mesh(cfg.num_devices)
+        cfg_local = dp.local_config(cfg, cfg.num_devices)
+        venv_local = DictVectorEnv(env, cfg_local.num_envs)
+        key, k_coll = jax.random.split(key)
+        env_state, obs, done, ckey, params, opt_state = dp.shard_ac_state(
+            mesh, env_state, obs, done, k_coll, params, opt_state
+        )
+        collect, update = dp.shard_ac_fns(
+            mesh,
+            make_collect_fn(cfg_local, venv_local, model),
+            make_update_fn(cfg_local, model, optimizer, axis_name=dp.AXIS),
+            dp.env_state_specs(env_state),
+        )
+    else:
+        collect, update = make_fns(cfg, venv, model, optimizer)
     global_step = (start_iter - 1) * cfg.batch_size
     start = time.time()
     windowed: list[float] = []
@@ -171,11 +214,14 @@ def train(cfg: CNNConfig, verbose: bool = True):
 
     for iteration in range(start_iter, cfg.num_iterations + 1):
         key, k_up = jax.random.split(key)
-        env_state, obs, done, key, tr = collect(params, env_state, obs, done, key)
-        params, opt_state, stats = update(params, opt_state, tr, obs, done, k_up)
+        if ckey is not None:
+            env_state, obs, done, ckey, tr = collect(params, env_state, obs, done, ckey)
+        else:
+            env_state, obs, done, key, tr = collect(params, env_state, obs, done, key)
+        params, opt_state, stats = update(params, opt_state, tr, k_up)
         global_step += cfg.batch_size
 
-        infos = jax.device_get(tr[-1])
+        infos = jax.device_get(tr.infos)
         d = infos["done"]
         if d.any():
             rets = infos["episode_return"][d]

@@ -82,3 +82,71 @@ def test_distributed_deterministic():
     a, b = outs
     for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
         np.testing.assert_array_equal(x, y)
+
+
+def test_ac_update_dp_equals_big_batch():
+    """The reference argues DP = a bigger single-device batch
+    (ac_ppo...cpp:548-550). With one minibatch per epoch this is exact: the
+    sharded update's pmean'd gradient equals the global full-batch gradient,
+    and distributed (Bessel) advantage normalization equals global
+    normalization. Feed the SAME rollout to both paths and compare params."""
+    from ppo_tpu.algos import ac_ppo
+    from ppo_tpu.parallel import dp
+
+    n = 4
+    mesh = make_mesh(n)
+    cfg = PPOConfig(
+        env_id="HalfCheetah-v5", num_envs=8, num_steps=8,
+        num_minibatches=1, update_epochs=1, total_timesteps=8 * 8,
+        solver_iterations=3,
+    )
+    env = make_env(cfg.env_id, dtype=jnp.float32, solver_iterations=cfg.solver_iterations)
+    venv = VectorEnv(env, cfg.num_envs, clip_actions=True)
+    model = GaussianActorCritic(act_dim=env.act_dim)
+    optimizer = ppo.make_optimizer(cfg)
+
+    key = jax.random.PRNGKey(3)
+    k_env, k_model, k_coll, k_up = jax.random.split(key, 4)
+    env_state, obs = venv.reset(k_env)
+    params = model.init_params(k_model, venv.obs_dim, dtype=venv.dtype)
+    opt_state = optimizer.init(params)
+
+    collect = jax.jit(ac_ppo.make_collect_fn(cfg, venv, model))
+    _, _, _, _, rollout = collect(params, env_state, obs, jnp.zeros(cfg.num_envs, bool), k_coll)
+
+    # single-device big-batch update
+    upd_global = jax.jit(ac_ppo.make_update_fn(cfg, model, optimizer))
+    p_ref, _, _ = upd_global(params, opt_state, rollout, k_up)
+
+    # 4-way sharded update on the SAME rollout
+    cfg_local = dp.local_config(cfg, n)
+    upd_local = ac_ppo.make_update_fn(cfg_local, model, optimizer, axis_name=dp.AXIS)
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ro_specs = dp._rollout_specs()
+    f = shard_map(
+        lambda p, o, r, k: upd_local(p, o, r, k),
+        mesh=mesh, in_specs=(P(), P(), ro_specs, P()),
+        out_specs=(P(), P(), P()), check_vma=False,
+    )
+    ro_sharded = jax.device_put(
+        rollout, jax.tree.map(lambda s: NamedSharding(mesh, s), ro_specs,
+                              is_leaf=lambda x: isinstance(x, P))
+    )
+    p_dp, _, _ = jax.jit(f)(params, opt_state, ro_sharded, k_up)
+
+    for a, b in zip(jax.tree.leaves(jax.device_get(p_ref)), jax.tree.leaves(jax.device_get(p_dp))):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_cnn_trainer_dp_runs(tmp_path):
+    from ppo_tpu.train_cnn import CNNConfig, train
+
+    cfg = CNNConfig(
+        num_envs=8, num_steps=4, num_minibatches=2, update_epochs=1,
+        total_timesteps=8 * 4, num_devices=4, exp_folder=str(tmp_path),
+    )
+    params = train(cfg, verbose=False)
+    for leaf in jax.tree.leaves(jax.device_get(params)):
+        assert np.all(np.isfinite(leaf))
