@@ -52,6 +52,9 @@ class PPOConfig:
     use_dd_ppo_preempt: bool = False        # config-surface parity; see parallel/preempt.py
     dd_ppo_min_perc: float = 0.25
     dd_ppo_preempt_threshold: float = 0.6
+    # observability: capture a jax.profiler trace of iterations 3-5 into
+    # <run folder>/profile (the TicToc/charts-SPS analogue at XLA-op depth)
+    profile: bool = False
     # derived (recomputed, not flags)
     batch_size: int = field(init=False, default=0)
     minibatch_size: int = field(init=False, default=0)

@@ -66,7 +66,7 @@ class Renderer:
         """geom world poses from qpos, on the CPU backend (no TPU dispatch)."""
         import jax
 
-        cpu = jax.devices("cpu")[0]
+        cpu = jax.local_devices(backend="cpu")[0]
         if self._fk is None:
             from ppo_tpu.physics.smooth import kinematics
 

@@ -80,6 +80,22 @@ def _runner_specs(rs: ppo.RunnerState):
     )
 
 
+def put_global(tree, specs, mesh: Mesh):
+    """Place host values onto a (possibly multi-process) mesh.
+
+    Unlike jax.device_put, this also works when the mesh spans devices of
+    OTHER processes (a real multi-host slice): every process computes the same
+    global host value (same seed ≙ rank-0 broadcast) and contributes only its
+    addressable shards.
+    """
+    def mk(x, s):
+        sh = NamedSharding(mesh, s)
+        arr = np.asarray(jax.device_get(x))
+        return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
+
+    return jax.tree.map(mk, tree, specs)
+
+
 def init_distributed_runner_state(cfg, venv: VectorEnv, model, optimizer, key, mesh: Mesh):
     """Global init then shard: env axis split across the mesh, params replicated."""
     rs = ppo.init_runner_state(cfg, venv, model, optimizer, key)
@@ -87,9 +103,7 @@ def init_distributed_runner_state(cfg, venv: VectorEnv, model, optimizer, key, m
     # one key per device slot
     rs = rs.replace(key=jax.random.split(rs.key, n))
     specs = _runner_specs(rs)
-    shardings = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
-                             is_leaf=lambda x: isinstance(x, P))
-    return jax.device_put(rs, shardings), specs
+    return put_global(rs, specs, mesh), specs
 
 
 def make_distributed_train_iteration(cfg: PPOConfig, venv_local: VectorEnv, model,
@@ -201,9 +215,7 @@ def shard_ac_state(mesh: Mesh, env_state, obs, done, key, params, opt_state):
     params/optimizer replicated (same-key init ≙ rank-0 broadcast,
     ac_ppo...cpp:551-553), one collection key per mesh slot."""
     def put(tree, specs):
-        sh = jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
-                          is_leaf=lambda x: isinstance(x, P))
-        return jax.device_put(tree, sh)
+        return put_global(tree, specs, mesh)
 
     n = mesh.shape[AXIS]
     env_state = put(env_state, env_state_specs(env_state))

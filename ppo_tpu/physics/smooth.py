@@ -337,7 +337,9 @@ def set_const(m: Model) -> Model:
     import jax
 
     try:
-        cpu = jax.devices("cpu")[0]
+        # local_devices, not devices: under multi-controller jax.distributed
+        # the global cpu:0 belongs to process 0 and is non-addressable elsewhere
+        cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         cpu = None
     if cpu is not None:

@@ -100,11 +100,19 @@ def train(cfg: PPOConfig, verbose: bool = True):
     global_step = (start_iter - 1) * cfg.batch_size
     start = time.time()
     tt = TicToc(verbose=verbose)
+    tracing = False
     for iteration in range(start_iter, cfg.num_iterations + 1):
+        # XLA-op-depth tracing of post-warmup iterations (§5 profiling parity)
+        if cfg.profile and iteration == min(cfg.num_iterations, start_iter + 2):
+            jax.profiler.start_trace(os.path.join(folder, "profile"))
+            tracing = True
         tt.tic()
         rs, out = train_iteration(rs)
         out = jax.block_until_ready(jax.device_get(out))
         collect_train_time = tt.toc("Time for iteration:") if verbose else 0.0
+        if cfg.profile and tracing and iteration >= min(cfg.num_iterations, start_iter + 4):
+            jax.profiler.stop_trace()
+            tracing = False
         global_step += cfg.batch_size
 
         # episodic stats (charts/*, same tags as the reference)
