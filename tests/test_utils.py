@@ -54,3 +54,20 @@ def test_checkpoint_roundtrip(tmp_path):
     assert len(files) == 1
     restored = ckpt.restore_state(path, state)
     np.testing.assert_allclose(np.asarray(restored["params"]["w"]), [0, 1, 2, 3])
+
+
+def test_hardcoded_obs_stats_sanitized():
+    """The reference's Humanoid std table has 19 exact zeros (constant cinert
+    features, ac_ppo...cpp:497) which NaN the baked (x-mean)/std normalize;
+    get_obs_stats must return them as 1 (constants otherwise verbatim)."""
+    import numpy as np
+
+    from ppo_tpu.hardcoded_obs_stats import _TABLE, get_obs_stats
+
+    raw_mean, raw_std = _TABLE["Humanoid-v4"]
+    assert np.sum(np.asarray(raw_std) == 0.0) == 19  # stored verbatim
+    mean, std = get_obs_stats("Humanoid-v4", 376)
+    assert std.min() > 0
+    nz = np.asarray(raw_std) > 0
+    np.testing.assert_array_equal(std[nz], np.asarray(raw_std)[nz])
+    np.testing.assert_array_equal(mean, np.asarray(raw_mean))
