@@ -139,7 +139,7 @@ def estimate_mean_std(cfg: PPOConfig, venv: VectorEnv, model, params, key, num_s
     (_, _, _), all_obs = jax.lax.scan(step, (state, obs, key), None, length=num_steps)
     flat = all_obs.reshape(-1, all_obs.shape[-1])
     mean = np.asarray(jnp.mean(flat, 0))
-    std = np.asarray(jnp.std(flat, 0))
+    std = np.asarray(jnp.std(flat, 0)).copy()  # asarray of a jax array is read-only
     # constant features estimate to std 0; emit 1 so the baked divide is safe
     # (the reference's table keeps the zeros and NaNs on Humanoid, see
     # hardcoded_obs_stats.get_obs_stats)

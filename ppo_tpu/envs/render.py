@@ -253,8 +253,9 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(args.seed)
     key, rk = jax.random.split(key)
-    state, obs = jax.jit(env.reset)(rk, consts)
+    reset = jax.jit(env.reset)
     step = jax.jit(env.step)
+    state, obs = reset(rk, consts)
     traj = [np.asarray(state.qpos)]
     for _ in range(args.steps):
         key, ak = jax.random.split(key)
@@ -268,7 +269,7 @@ def main(argv=None):
         traj.append(np.asarray(state.qpos))
         if bool(term) or bool(trunc):
             key, rk = jax.random.split(key)
-            state, obs = jax.jit(env.reset)(rk, consts)
+            state, obs = reset(rk, consts)
 
     frames = Renderer(env.model).render_trajectory(np.stack(traj))
     save_gif(frames, args.out, args.fps)

@@ -225,3 +225,14 @@ def shard_ac_state(mesh: Mesh, env_state, obs, done, key, params, opt_state):
     params = put(params, jax.tree.map(lambda _: P(), params))
     opt_state = put(opt_state, jax.tree.map(lambda _: P(), opt_state))
     return env_state, obs, done, keys, params, opt_state
+
+
+def fetch_host(tree):
+    """Host copy of device values that also works when arrays are sharded or
+    replicated over OTHER processes' devices (plain device_get raises for
+    non-addressable shards). Single-process: identical to jax.device_get."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(tree, tiled=True)
+    return jax.device_get(tree)

@@ -131,7 +131,9 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
             params, opt_state, stats = update(params, opt_state, rollout, k_up)
 
         global_step += cfg.batch_size
-        infos = jax.device_get(rollout.infos)
+        from ppo_tpu.parallel.dp import fetch_host
+
+        infos = fetch_host(rollout.infos)
         d = infos["done"]
         if d.any():
             rets = infos["episode_return"][d]
@@ -145,7 +147,7 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
                 best_score = avg
                 ckpt.save_best({"params": params}, folder)
         if stats is not None:
-            s = jax.device_get(stats)
+            s = fetch_host(stats)
             writer.add_scalar("losses/value_loss", float(s.value_loss), global_step)
             writer.add_scalar("losses/policy_loss", float(s.policy_loss), global_step)
             writer.add_scalar("losses/entropy", float(s.entropy), global_step)
@@ -164,6 +166,14 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
         params, opt_state, _ = update(params, opt_state, pending, k_up)
 
     ckpt.save_final({"params": params, "opt_state": opt_state}, folder)
+
+    if jax.process_count() > 1:
+        # multi-host: evaluate offline from the saved checkpoint instead
+        if verbose and jax.process_index() == 0:
+            print("multi-process run: skipping in-trainer final eval "
+                  "(use the checkpoint with a single-process eval)")
+        writer.close()
+        return params, []
 
     # final eval with deterministic actions (sample_type="mean", ac_ppo...cpp:965-1001)
     eval_cfg = dataclasses.replace(cfg, sample_type="mean" if cfg.agent == "beta" else "sample")

@@ -221,7 +221,9 @@ def train(cfg: CNNConfig, verbose: bool = True):
         params, opt_state, stats = update(params, opt_state, tr, k_up)
         global_step += cfg.batch_size
 
-        infos = jax.device_get(tr.infos)
+        from ppo_tpu.parallel.dp import fetch_host
+
+        infos = fetch_host(tr.infos)
         d = infos["done"]
         if d.any():
             rets = infos["episode_return"][d]
@@ -234,7 +236,7 @@ def train(cfg: CNNConfig, verbose: bool = True):
             if len(windowed) >= 10 and avg > best:
                 best = avg
                 ckpt.save_best({"params": params}, folder)
-        s = jax.device_get(stats)
+        s = fetch_host(stats)
         writer.add_scalar("losses/value_loss", float(s.value_loss), global_step)
         writer.add_scalar("losses/policy_loss", float(s.policy_loss), global_step)
         writer.add_scalar("losses/entropy", float(s.entropy), global_step)
@@ -249,7 +251,7 @@ def train(cfg: CNNConfig, verbose: bool = True):
 
             from ppo_tpu.models.debug_viz import visualize_model
 
-            o = jax.device_get(jax.tree.map(lambda x: x[0], obs))
+            o = jax.tree.map(lambda x: x[0], fetch_host(obs))
             alpha, beta, value = jax.device_get(model.apply(
                 params, o["bev_semantics"][None], o["measurements"][None],
                 o["value_measurements"][None],

@@ -108,7 +108,9 @@ def train(cfg: PPOConfig, verbose: bool = True):
             tracing = True
         tt.tic()
         rs, out = train_iteration(rs)
-        out = jax.block_until_ready(jax.device_get(out))
+        from ppo_tpu.parallel.dp import fetch_host
+
+        out = fetch_host(out)  # multi-process-safe host copy (sharded episode stats)
         collect_train_time = tt.toc("Time for iteration:") if verbose else 0.0
         if cfg.profile and tracing and iteration >= min(cfg.num_iterations, start_iter + 4):
             jax.profiler.stop_trace()
@@ -144,6 +146,14 @@ def train(cfg: PPOConfig, verbose: bool = True):
             ckpt.save_state(rs, folder, iteration)
 
     ckpt.save_final(rs, folder)
+
+    if jax.process_count() > 1:
+        # multi-host: evaluate offline from the saved checkpoint instead
+        if verbose and jax.process_index() == 0:
+            print("multi-process run: skipping in-trainer final eval "
+                  "(use the checkpoint with a single-process eval)")
+        writer.close()
+        return rs, []
 
     # final eval: training envs keep their normalization statistics
     returns = ppo.evaluate(

@@ -19,11 +19,34 @@ from flax import serialization
 _LATEST_RE = re.compile(r"state_latest_(\d{9})\.msgpack$")
 
 
+def _to_host(state):
+    """Full host copy of a (possibly multi-process-sharded) state pytree.
+
+    Single-process: plain device_get. Under jax.distributed, arrays sharded
+    over other processes' devices are not locally fetchable, so every process
+    allgathers the global value (cheap at this model scale) and process 0
+    writes — the rank-0 checkpoint semantics of the reference
+    (ac_ppo_continuous_action.cpp:904-926).
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(state, tiled=True)
+    return jax.device_get(state)
+
+
+def _is_writer() -> bool:
+    return jax.process_index() == 0
+
+
 def save_state(state, folder: str | os.PathLike, iteration: int, keep_old: bool = False):
     folder = Path(folder)
-    folder.mkdir(parents=True, exist_ok=True)
+    host = _to_host(state)  # collective: every process must participate
     path = folder / f"state_latest_{iteration:09d}.msgpack"
-    data = serialization.to_bytes(jax.device_get(state))
+    if not _is_writer():
+        return path
+    data = serialization.to_bytes(host)
+    folder.mkdir(parents=True, exist_ok=True)
     tmp = path.with_suffix(".tmp")
     tmp.write_bytes(data)
     os.replace(tmp, path)
@@ -37,17 +60,21 @@ def save_state(state, folder: str | os.PathLike, iteration: int, keep_old: bool 
 
 def save_final(state, folder: str | os.PathLike):
     folder = Path(folder)
-    folder.mkdir(parents=True, exist_ok=True)
+    host = _to_host(state)  # collective: every process must participate
     path = folder / "state_final.msgpack"
-    path.write_bytes(serialization.to_bytes(jax.device_get(state)))
+    if _is_writer():
+        folder.mkdir(parents=True, exist_ok=True)
+        path.write_bytes(serialization.to_bytes(host))
     return path
 
 
 def save_best(state, folder: str | os.PathLike):
     folder = Path(folder)
-    folder.mkdir(parents=True, exist_ok=True)
+    host = _to_host(state)  # collective: every process must participate
     path = folder / "state_best.msgpack"
-    path.write_bytes(serialization.to_bytes(jax.device_get(state)))
+    if _is_writer():
+        folder.mkdir(parents=True, exist_ok=True)
+        path.write_bytes(serialization.to_bytes(host))
     return path
 
 
@@ -72,14 +99,28 @@ def restore_state(path: str | os.PathLike, target):
     """
     raw = serialization.msgpack_restore(Path(path).read_bytes())
     tmpl = serialization.to_state_dict(target)
+    missing: list[str] = []
 
-    def merge(t, r):
+    def merge(t, r, prefix=""):
         if isinstance(t, dict):
-            return {k: (merge(v, r[k]) if isinstance(r, dict) and k in r else v)
-                    for k, v in t.items()}
+            out = {}
+            for k, v in t.items():
+                if isinstance(r, dict) and k in r:
+                    out[k] = merge(v, r[k], f"{prefix}/{k}")
+                else:
+                    missing.append(f"{prefix}/{k}")
+                    out[k] = v
+            return out
         return r if r is not None else t
 
-    return serialization.from_state_dict(target, merge(tmpl, raw))
+    merged = merge(tmpl, raw)
+    if missing:
+        shown = ", ".join(missing[:8]) + (" ..." if len(missing) > 8 else "")
+        print(
+            f"[checkpoint] WARNING: {len(missing)} field(s) absent from {path}; "
+            f"keeping template values for: {shown}"
+        )
+    return serialization.from_state_dict(target, merged)
 
 
 def resolve_checkpoint(path: str | os.PathLike):

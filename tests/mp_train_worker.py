@@ -70,6 +70,21 @@ def main():
         assert np.all(np.isfinite(local))
         h.update(local.tobytes())
     stats_ok = np.isfinite(float(out.stats.total_loss.addressable_data(0)))
+
+    # multi-process checkpointing: every process gathers, process 0 writes,
+    # everyone restores the same bytes (rank-0 semantics, ac_ppo...cpp:904-926)
+    from jax.experimental import multihost_utils
+
+    from ppo_tpu.utils import checkpoint as ckpt
+
+    path = ckpt.save_state(rs2, pathlib.Path(out_dir, "ckpt"), 1)
+    multihost_utils.sync_global_devices("ckpt_written")
+    assert path.is_file(), path
+    template = multihost_utils.process_allgather(rs2, tiled=True)
+    restored = ckpt.restore_state(path, template)
+    for a, b in zip(jax.tree.leaves(template.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     pathlib.Path(out_dir, f"proc{pid}.txt").write_text(
         f"{h.hexdigest()} stats_ok={stats_ok}\n"
     )
