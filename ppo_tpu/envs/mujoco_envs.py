@@ -156,9 +156,30 @@ class MujocoEnv:
         t = state.t + 1
         truncated = t >= self.max_episode_steps
         obs = self._obs(m, qpos, qvel, extras)
+
+        # f32 divergence guard (TPU-native robustness extension): MuJoCo runs
+        # in f64 where solver blow-ups are practically impossible; in f32 a
+        # marginally-stable contact state (large warmstarted qacc) can
+        # occasionally diverge to non-finite values. Map that to termination
+        # with sanitized outputs — physically the body has left any healthy
+        # range, so this is the same outcome the healthy-state check encodes —
+        # instead of letting one env's NaN poison the whole lockstep batch
+        # (observed: Humanoid-v4, 64 envs, iteration 1 NaNs the PPO update).
+        finite = (
+            jnp.isfinite(qpos).all() & jnp.isfinite(qvel).all()
+            & jnp.isfinite(obs).all() & jnp.isfinite(reward)
+        )
+        terminated = terminated | ~finite
+        reward = jnp.where(finite, reward, 0.0).astype(self.dtype)
+        obs = jnp.where(finite, obs, 0.0)
         new_state = EnvState(
-            qpos=qpos, qvel=qvel, t=t, key=state.key, x_before=x_after,
-            qacc_warmstart=extras.fwd.qacc,
+            # keep the stored state steppable: a done env is stepped once more
+            # (masked) by the vector autoreset before being replaced
+            qpos=jnp.where(finite, qpos, jnp.asarray(m.qpos0, self.dtype)),
+            qvel=jnp.where(finite, qvel, jnp.zeros_like(qvel)),
+            t=t, key=state.key,
+            x_before=jnp.where(finite, x_after, 0.0).astype(self.dtype),
+            qacc_warmstart=jnp.where(finite, extras.fwd.qacc, 0.0).astype(self.dtype),
         )
         return new_state, obs, reward, terminated, truncated
 

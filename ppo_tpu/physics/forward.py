@@ -57,6 +57,17 @@ class ForwardOut(NamedTuple):
 
 
 def forward(m: Model, qpos, qvel, ctrl, ctx: StepContext | None = None, iterations=None, solver_type: str = "newton", warmstart=None) -> ForwardOut:
+    with jax.default_matmul_precision("highest"):
+        return _forward(m, qpos, qvel, ctrl, ctx, iterations, solver_type, warmstart)
+
+
+def _forward(m: Model, qpos, qvel, ctrl, ctx: StepContext | None = None, iterations=None, solver_type: str = "newton", warmstart=None) -> ForwardOut:
+    # NOTE: callers must be under jax.default_matmul_precision("highest") (the
+    # public forward() wrapper does this). TPU's default bf16 matmul precision
+    # corrupts the CRB mass matrix / Newton Hessian enough that a warmstarted
+    # solve can diverge to NaN (observed: Humanoid, 64 envs, warmstart ~4e2);
+    # f32-exact matmuls reproduce the CPU/MuJoCo result bit-for-bit-close.
+    # These matrices are [nv, nv] (nv<=23), so MXU cost is negligible.
     if ctx is None:
         ctx = make_context(m)
     iterations = iterations or m.opt.solver_iterations
@@ -167,9 +178,12 @@ def step(m: Model, ctx: StepContext, qpos, qvel, ctrl, iterations=None, solver_t
     state). `warmstart` is the previous step's qacc (qacc_warmstart); the
     returned fwd.qacc is the warmstart for the next step."""
     iterations = iterations or m.opt.solver_iterations
-    if m.opt.integrator == EULER:
-        return _euler_step(m, ctx, qpos, qvel, ctrl, iterations, solver_type, warmstart)
-    return _rk4_step(m, ctx, qpos, qvel, ctrl, iterations, solver_type, warmstart)
+    # f32-exact matmuls everywhere in the step (see _forward note): this also
+    # covers the implicit-damping cho_solve in _euler_step
+    with jax.default_matmul_precision("highest"):
+        if m.opt.integrator == EULER:
+            return _euler_step(m, ctx, qpos, qvel, ctrl, iterations, solver_type, warmstart)
+        return _rk4_step(m, ctx, qpos, qvel, ctrl, iterations, solver_type, warmstart)
 
 
 def make_step_fn(m: Model, iterations=None, solver_type="newton"):
