@@ -205,3 +205,25 @@ def test_gaussian_ppo_learns_quickly_on_cheetah():
     assert 0 <= float(out.stats.clipfrac) <= 1
     p1 = jax.tree.leaves(jax.device_get(rs.params))[0]
     assert np.abs(p1 - p0).max() > 1e-5
+
+
+def test_eval_cli_on_saved_run(tmp_path):
+    """python -m ppo_tpu.eval: offline checkpoint evaluation (the documented
+    path for multi-host runs whose in-trainer eval is skipped)."""
+    from ppo_tpu.config import PPOConfig
+    from ppo_tpu.train_ppo import train
+    from ppo_tpu import eval as eval_cli
+
+    cfg = PPOConfig(
+        env_id="HalfCheetah-v5", num_envs=2, num_steps=16, num_minibatches=2,
+        update_epochs=1, total_timesteps=64, exp_folder=str(tmp_path),
+        solver_iterations=4, num_eval_runs=1,
+    )
+    train(cfg, verbose=False)
+    import glob
+
+    run = glob.glob(str(tmp_path / "*"))[0]
+    result = eval_cli.main(["--checkpoint", run, "--episodes", "1"])
+    assert result["episodes"] == 1
+    assert np.isfinite(result["mean_return"])
+    assert result["iteration"] == cfg.num_iterations
