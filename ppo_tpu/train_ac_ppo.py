@@ -42,6 +42,9 @@ class ACPPOConfig(PPOConfig):
 
 
 def train(cfg: ACPPOConfig, verbose: bool = True):
+    import jax as _jax
+
+    verbose = verbose and _jax.process_index() == 0  # rank-0 prints (ac_ppo...cpp:624)
     # fail fast on a bad resume target, before any compilation
     resume_path, resume_it = (None, -1)
     if cfg.resume_from:
@@ -137,8 +140,10 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
         d = infos["done"]
         if d.any():
             rets = infos["episode_return"][d]
-            for r in rets[-8:]:
+            lens = infos["episode_length"][d]
+            for r, l in zip(rets[-8:], lens[-8:]):
                 writer.add_scalar("charts/episodic_return", float(r), global_step)
+                writer.add_scalar("charts/episodic_length", float(l), global_step)
             windowed.extend(rets.tolist())
             windowed = windowed[-100:]
             avg = float(np.mean(windowed))
@@ -153,6 +158,7 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
             writer.add_scalar("losses/entropy", float(s.entropy), global_step)
             writer.add_scalar("losses/approx_kl", float(s.approx_kl), global_step)
             writer.add_scalar("losses/clipfrac", float(s.clipfrac), global_step)
+        writer.add_scalar("charts/learning_rate", ppo.current_lr(cfg, iteration - 1), global_step)
         sps = int((global_step - (start_iter - 1) * cfg.batch_size) / (time.time() - start))
         writer.add_scalar("charts/SPS", sps, global_step)
         if verbose:

@@ -142,6 +142,9 @@ def make_fns(cfg: CNNConfig, venv: DictVectorEnv, model, optimizer):
 
 
 def train(cfg: CNNConfig, verbose: bool = True):
+    import jax as _jax
+
+    verbose = verbose and _jax.process_index() == 0  # rank-0 prints (ac_ppo...cpp:624)
     run_name = f"{cfg.env_id}__{cfg.exp_name}__{cfg.seed}__{int(time.time())}"
     folder = os.path.join(cfg.exp_folder, run_name)
     writer = SummaryWriter(folder)
@@ -227,8 +230,10 @@ def train(cfg: CNNConfig, verbose: bool = True):
         d = infos["done"]
         if d.any():
             rets = infos["episode_return"][d]
-            for r in rets[-8:]:
+            lens = infos["episode_length"][d]
+            for r, l in zip(rets[-8:], lens[-8:]):
                 writer.add_scalar("charts/episodic_return", float(r), global_step)
+                writer.add_scalar("charts/episodic_length", float(l), global_step)
             windowed.extend(rets.tolist())
             windowed = windowed[-100:]
             avg = float(np.mean(windowed))

@@ -41,6 +41,9 @@ def build_model(cfg: PPOConfig, env):
 
 
 def train(cfg: PPOConfig, verbose: bool = True):
+    import jax as _jax
+
+    verbose = verbose and _jax.process_index() == 0  # rank-0 prints (ac_ppo...cpp:624)
     # resolve the resume target up front so a bad path fails before any
     # env construction / compilation
     resume_path, resume_it = (None, -1)
