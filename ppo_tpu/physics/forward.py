@@ -80,8 +80,9 @@ def _forward(m: Model, qpos, qvel, ctrl, ctx: StepContext | None = None, iterati
     qfrc_actuator = smooth.actuator_forces(m, ctrl)
     qfrc_smooth = qfrc_passive + qfrc_actuator - qfrc_bias
 
-    Mchol = jax.scipy.linalg.cho_factor(M)
-    qacc_smooth = jax.scipy.linalg.cho_solve(Mchol, qfrc_smooth)
+    # CG instead of cholesky: see physics.math.spd_solve (batched small
+    # cholesky is the dominant cost of the whole step on this TPU runtime)
+    qacc_smooth = pm.spd_solve(M, qfrc_smooth)
 
     contacts = collision.collide(m, kin.geom_xpos, kin.geom_xmat, ctx.slots, ctx.kind_masks)
     efc = constraint.make_efc(m, ctx.meta, com, qpos, qvel, contacts)
@@ -96,7 +97,7 @@ def _forward(m: Model, qpos, qvel, ctrl, ctx: StepContext | None = None, iterati
         f, qacc = nt(M, efc.J, D, efc.aref, qacc_smooth, x0)
         qfrc_constraint = efc.J.T @ f
     elif ne:
-        MiJT = jax.scipy.linalg.cho_solve(Mchol, efc.J.T)      # [nv, ne]
+        MiJT = pm.spd_solve(M, efc.J.T)                        # [nv, ne]
         A = efc.J @ MiJT + jnp.diag(efc.R)
         b = efc.J @ qacc_smooth - efc.aref
         f = solver.solve_pgs(A, b, iterations)
@@ -135,7 +136,7 @@ def _euler_step(m: Model, ctx, qpos, qvel, ctrl, iterations, solver_type, warmst
         # implicit joint damping: dv = h * (M + h diag(B))^-1 (f_smooth + f_constraint)
         MhB = fwd.M + jnp.diag(h * jnp.asarray(m.dof_damping, qvel.dtype))
         qfrc = fwd.qfrc_smooth + fwd.qfrc_constraint
-        dv = h * jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(MhB), qfrc)
+        dv = h * pm.spd_solve(MhB, qfrc)
     else:
         dv = h * fwd.qacc
     qvel_new = qvel + dv

@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ppo_tpu.physics import math as pm
+
 
 def solve_pgs(A: jnp.ndarray, b: jnp.ndarray, iterations: int) -> jnp.ndarray:
     """Projected Gauss-Seidel for min_{f>=0} 1/2 f'Af + f'b (A SPD)."""
@@ -88,7 +90,9 @@ def solve_newton(M, J, D, aref, qacc_smooth, iterations=10, x0=None,
         d = jnp.where(jar < 0, D, 0.0)
         H = M + J.T @ (d[:, None] * J)
         g = M @ (x - xs) + J.T @ (d * jar)
-        dx = -jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(H), g)
+        # CG instead of cholesky (physics.math.spd_solve): exact Newton
+        # direction up to roundoff, no batched triangular solves
+        dx = -pm.spd_solve(H, g)
 
         # exact line search on phi(a) = cost(x + a dx): piecewise quadratic,
         # phi'(a) = g0 + a*dmd + sum_act D (jar + a dj) dj with the active set
