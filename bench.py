@@ -18,10 +18,12 @@ work. Calls are chained (each rep's input depends on the previous rep's
 output) so reps cannot overlap, and the env state's step counters are checked
 afterwards so the reported number corresponds to real executed physics.
 
-Two stages (the tunneled runtime can enter a degraded dispatch mode,
-docs/PERF.md): a quick single-vector-step measurement that always produces a
-number, then the full 50-step scan loop in a subprocess with a hard timeout.
-The larger valid measurement wins.
+Two stages: a quick single-vector-step measurement that always produces a
+number, then the full 50-step scan loop in a subprocess with a hard timeout
+(amortizes the ~26 ms per-call RTT of the tunneled runtime over 50 steps).
+The larger valid measurement wins. See docs/PERF.md "Single-chip throughput"
+for the honest numbers, the profiler breakdown, and the correction of an
+earlier physically-impossible measurement.
 """
 
 import json
@@ -120,11 +122,8 @@ def _full(num_envs=4096, steps=50, solver_iterations=8, warmup=2, reps=3):
     return num_envs * steps / statistics.median(times)
 
 
-DEGRADED_SPS = 5_000_000  # far below the engine's measured fast-mode speed
-
-
 def _full_subprocess(timeout):
-    """Full loop in a subprocess so a degraded-mode compile cannot hang us."""
+    """Full loop in a subprocess so a pathological compile cannot hang us."""
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--full-only"],
@@ -140,24 +139,9 @@ def _full_subprocess(timeout):
     return 0.0
 
 
-def bench(full_timeout=600, idle_retries=2, idle_s=300):
-    """Best valid measurement, with bounded retry-after-idle.
-
-    The tunneled TPU runtime has a degraded mode (docs/PERF.md) that slows
-    in-program execution ~1000x and recovers only after the device sits
-    idle. A measurement in that mode says nothing about the engine, so if
-    both stages come back far below the engine's known speed, leave the
-    device alone for a few minutes and re-measure (each retry is a fresh
-    subprocess: the mode is device-side, not process-side). Every retained
-    number still passes the execution-validity checks in _quick/_full.
-    """
-    best = _quick()
-    for attempt in range(idle_retries + 1):
-        best = max(best, _full_subprocess(full_timeout))
-        if best >= DEGRADED_SPS or attempt == idle_retries:
-            break
-        time.sleep(idle_s)
-    return best
+def bench(full_timeout=900):
+    """Best of the two validated stages (see module docstring)."""
+    return max(_quick(), _full_subprocess(full_timeout))
 
 
 if __name__ == "__main__":
