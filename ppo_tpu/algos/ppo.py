@@ -60,7 +60,7 @@ def make_optimizer(cfg: PPOConfig):
 
     return optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adam(learning_rate=schedule, eps=1e-5),
+        optax.adam(learning_rate=schedule, eps=cfg.adam_eps),
     )
 
 

@@ -37,6 +37,12 @@ class PPOConfig:
     ent_coef: float = 0.0
     vf_coef: float = 0.5
     max_grad_norm: float = 0.5
+    adam_eps: float = 1e-5                  # Adam epsilon (ppo_continuous_action.cpp:69)
+    clip_actions: bool = True               # clip actions to the action space (gym.h:133-139)
+    # "human" renders the final-eval trajectory to <run folder>/eval.gif via the
+    # software renderer (the headless stand-in for the reference's GLFW window,
+    # mujoco_env.h:49-79); "rgb_array" disables visualization like the reference
+    render: str = "rgb_array"
     # infra
     exp_folder: str = "runs"
     num_eval_runs: int = 10
@@ -49,9 +55,11 @@ class PPOConfig:
     # AC-PPO style extensions
     pipelined: bool = False                 # overlap rollout & update (AC-PPO replacement)
     num_devices: int = 1                    # data-parallel devices (mesh axis size)
-    use_dd_ppo_preempt: bool = False        # config-surface parity; see parallel/preempt.py
+    use_dd_ppo_preempt: bool = False        # host-level straggler preemption (parallel/preempt.py)
     dd_ppo_min_perc: float = 0.25
     dd_ppo_preempt_threshold: float = 0.6
+    rdzv_addr: str = "localhost"            # TCP-store host (ac_ppo_continuous_action.cpp:85)
+    tcp_store_port: int = 29500             # TCP-store port (ac_ppo_continuous_action.cpp:86)
     # observability: capture a jax.profiler trace of iterations 3-5 into
     # <run folder>/profile (the TicToc/charts-SPS analogue at XLA-op depth)
     profile: bool = False
@@ -67,7 +75,21 @@ class PPOConfig:
         self.batch_size = self.num_steps * self.num_envs
         self.minibatch_size = max(1, self.batch_size // self.num_minibatches)
         self.num_iterations = self.total_timesteps // self.batch_size
+        self.validate()
         return self
+
+    def validate(self):
+        """Divisibility checks (carla_config.h:356-370 semantics)."""
+        if self.num_envs % self.num_devices != 0:
+            raise ValueError("num_envs must be a multiple of num_devices.")
+        if self.batch_size % self.num_minibatches != 0:
+            raise ValueError("The batch size must be divisible by the minibatch size.")
+        if self.batch_size % self.num_devices != 0:
+            raise ValueError("The batch size must be divisible by the number of devices.")
+        if self.minibatch_size % self.num_devices != 0:
+            raise ValueError("The minibatch size must be divisible by the number of devices.")
+        if self.render not in ("rgb_array", "human"):
+            raise ValueError("render must be 'rgb_array' or 'human'.")
 
     # -- markdown dump for TB (to_string, ppo_continuous_action.cpp:83-117)
     def to_markdown(self) -> str:

@@ -60,7 +60,7 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
         f.write(cfg.to_json())
 
     env = make_env(cfg.env_id, dtype=jnp.float32, solver_iterations=cfg.solver_iterations)
-    venv = VectorEnv(env, cfg.num_envs, clip_actions=True)  # normalization baked into model
+    venv = VectorEnv(env, cfg.num_envs, clip_actions=cfg.clip_actions)  # normalization baked into model
     model = build_model(cfg, env)
     optimizer = ppo.make_optimizer(cfg)
 
@@ -84,7 +84,7 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
 
         mesh = dp.make_mesh(cfg.num_devices)
         cfg_local = dp.local_config(cfg, cfg.num_devices)
-        venv_local = VectorEnv(env, cfg_local.num_envs, clip_actions=True)
+        venv_local = VectorEnv(env, cfg_local.num_envs, clip_actions=cfg.clip_actions)
         key, k_coll = jax.random.split(key)
         env_state, obs, done0, ckey, params, opt_state = dp.shard_ac_state(
             mesh, env_state, obs, jnp.zeros(venv.num_envs, bool), k_coll, params, opt_state

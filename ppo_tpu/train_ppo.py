@@ -62,7 +62,7 @@ def train(cfg: PPOConfig, verbose: bool = True):
     env = make_env(cfg.env_id, dtype=jnp.float32, solver_iterations=cfg.solver_iterations)
     use_wrappers = cfg.agent == "gaussian"  # AC-PPO bakes normalization into the model
     venv = VectorEnv(
-        env, cfg.num_envs, clip_actions=True,
+        env, cfg.num_envs, clip_actions=cfg.clip_actions,
         normalize_obs=use_wrappers, normalize_reward=use_wrappers, gamma=cfg.gamma,
     )
     model = build_model(cfg, env)
@@ -79,7 +79,7 @@ def train(cfg: PPOConfig, verbose: bool = True):
 
         mesh = make_mesh(cfg.num_devices)
         venv_local = VectorEnv(
-            env, cfg.num_envs // cfg.num_devices, clip_actions=True,
+            env, cfg.num_envs // cfg.num_devices, clip_actions=cfg.clip_actions,
             normalize_obs=use_wrappers, normalize_reward=use_wrappers, gamma=cfg.gamma,
         )
         rs, specs = init_distributed_runner_state(
@@ -168,8 +168,44 @@ def train(cfg: PPOConfig, verbose: bool = True):
         writer.add_scalar("eval/avg_return", float(np.mean(returns)), 0)
         if verbose:
             print(f"eval avg return over {len(returns)} episodes: {np.mean(returns):.2f}")
+
+    if cfg.render == "human":
+        # headless stand-in for the reference's GLFW training window
+        # (mujoco_env.h:49-79): one policy episode rendered to <folder>/eval.gif
+        render_eval_gif(cfg, env, venv, model, rs, os.path.join(folder, "eval.gif"),
+                        verbose=verbose)
     writer.close()
     return rs, returns
+
+
+def render_eval_gif(cfg, env, venv, model, rs, out_path, steps=300, verbose=True):
+    from ppo_tpu.envs.render import Renderer, save_gif
+
+    rms = rs.env.obs_rms  # training normalizer (env-0 statistics), if any
+
+    @jax.jit
+    def rollout(params, key):
+        k0, key = jax.random.split(key)
+        state, obs = env.reset(k0, env.consts)
+
+        def body(carry, _):
+            state, obs, key = carry
+            key, ak = jax.random.split(key)
+            o = obs
+            if rms is not None:
+                o = jnp.clip((o - rms.mean[0]) / jnp.sqrt(rms.var[0] + 1e-4), -10, 10)
+            a = model.get_action_and_value(params, o[None].astype(jnp.float32), ak)[0][0]
+            state, obs, _, _, _ = env.step(state, a, env.consts)
+            return (state, obs, key), state.qpos
+
+        (_, _, _), qtraj = jax.lax.scan(body, (state, obs, key), None, length=steps)
+        return qtraj
+
+    qtraj = np.asarray(rollout(rs.params, jax.random.PRNGKey(cfg.eval_seed)))
+    frames = Renderer(env.model).render_trajectory(qtraj)
+    save_gif(frames, out_path)
+    if verbose:
+        print(f"render=human: wrote {len(frames)} frames to {out_path}")
 
 
 def main(argv=None):
