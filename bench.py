@@ -41,7 +41,19 @@ def _fetch(x) -> float:
     return float(jax.device_get(x))
 
 
-def _quick(num_envs=4096, solver_iterations=8, reps=10):
+def _setup_cache():
+    """Persistent XLA compilation cache: the lane-major physics program takes
+    ~3.5 min to compile cold; the cache makes every later bench/train run
+    skip it."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+
+def _quick(num_envs=4096, solver_iterations=4, reps=10):
+    _setup_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -60,9 +72,7 @@ def _quick(num_envs=4096, solver_iterations=8, reps=10):
     def one(params, state, obs, key, consts):
         key, k = jax.random.split(key)
         action, _, _, _ = model.get_action_and_value(params, obs, k)
-        state, obs, reward, term, trunc = jax.vmap(env.step, in_axes=(0, 0, None))(
-            state, action, consts
-        )
+        state, obs, reward, term, trunc = env.step_batch(state, action, consts)
         return state, obs, key, jnp.sum(reward)
 
     key = jax.random.PRNGKey(2)
@@ -79,7 +89,8 @@ def _quick(num_envs=4096, solver_iterations=8, reps=10):
     return num_envs / statistics.median(times)
 
 
-def _full(num_envs=4096, steps=50, solver_iterations=8, warmup=2, reps=3):
+def _full(num_envs=4096, steps=50, solver_iterations=4, warmup=2, reps=3):
+    _setup_cache()
     import jax
     import jax.numpy as jnp
 
@@ -99,9 +110,7 @@ def _full(num_envs=4096, steps=50, solver_iterations=8, warmup=2, reps=3):
             state, obs, key = carry
             key, k = jax.random.split(key)
             action, _, _, _ = model.get_action_and_value(params, obs, k)
-            state, obs, reward, term, trunc = jax.vmap(
-                env.step, in_axes=(0, 0, None)
-            )(state, action, consts)
+            state, obs, reward, term, trunc = env.step_batch(state, action, consts)
             return (state, obs, key), jnp.sum(reward)
 
         (state, obs, key), rs = jax.lax.scan(body, (state, obs, key), None, length=steps)

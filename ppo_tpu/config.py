@@ -49,7 +49,12 @@ class PPOConfig:
     eval_seed: int = 10_000
     checkpoint_every: int = 1
     resume_from: str = ""                   # checkpoint file or run folder to resume from
-    solver_iterations: int = 30             # physics PGS sweeps (TPU throughput knob)
+    # Newton solver iterations per physics substep. 4 warmstarted iterations
+    # track MuJoCo trajectories to 1e-5..1e-4 over 50 steps
+    # (tests/test_physics_step.py::test_warmstart_low_iterations_trajectory)
+    solver_iterations: int = 4
+    # lane-major batched physics (physics/lanes.py) vs vmapped reference path
+    batch_impl: str = "lanes"               # lanes | vmap
     agent: str = "gaussian"                 # gaussian | beta
     sample_type: str = "sample"             # beta-agent collection sampling
     # AC-PPO style extensions

@@ -39,6 +39,10 @@ class EnvState:
     key: jax.Array                # per-env RNG key
     x_before: jax.Array           # body-x / com-x used for velocity rewards
     qacc_warmstart: jax.Array     # previous step's qacc (mjData.qacc_warmstart)
+    # cumulative count of f32 divergence-guard activations (observability:
+    # a solver regression that NaNs frequently must be visible in metrics,
+    # not just as shorter episodes) — preserved across autoresets
+    nonfinite: jax.Array = None
 
 
 class StepExtras(NamedTuple):
@@ -58,12 +62,16 @@ class MujocoEnv:
     needs_cfrc: bool = False
 
     def __init__(self, dtype=jnp.float32, solver_iterations: int | None = None,
-                 solver_type: str = "newton"):
+                 solver_type: str = "newton", batch_impl: str = "lanes"):
         self.dtype = dtype
+        self.batch_impl = batch_impl
         self.model: Model = smooth.set_const(load_model(gym_asset_path(self.xml)))
         self.ctx = forward.make_context(self.model)
         self.solver_type = solver_type
-        default_iters = 8 if solver_type == "newton" else self.model.opt.solver_iterations
+        # 4 warmstarted Newton iterations track MuJoCo trajectories as tightly
+        # as 15 cold ones (tests/test_physics_step.py::
+        # test_warmstart_low_iterations_trajectory) — the throughput default
+        default_iters = 4 if solver_type == "newton" else self.model.opt.solver_iterations
         self.iterations = solver_iterations or default_iters
         self.dt = self.model.opt.timestep * self.frame_skip
         self.nq, self.nv, self.nu = self.model.nq, self.model.nv, self.model.nu
@@ -125,6 +133,7 @@ class MujocoEnv:
             qpos=qpos, qvel=qvel, t=jnp.zeros((), jnp.int32), key=key,
             x_before=self._x_metric(m, qpos, fwd),
             qacc_warmstart=fwd.qacc,
+            nonfinite=jnp.zeros((), jnp.int32),
         )
         extras = StepExtras(
             fwd=fwd, cfrc_ext=self._reset_cfrc(m, fwd), ctrl=jnp.zeros(self.nu, self.dtype)
@@ -150,7 +159,10 @@ class MujocoEnv:
         qpos, qvel, extras = self._substeps(
             m, ctx, state.qpos, state.qvel, ctrl, state.qacc_warmstart
         )
-        x_after = self._x_metric(m, qpos, extras.fwd)
+        return self._post_step(m, state, qpos, qvel, ctrl, extras, extras.fwd.qacc)
+
+    def _post_step(self, m, state, qpos, qvel, ctrl, extras, qacc_next):
+        x_after = self._x_metric(m, qpos, extras.fwd if extras is not None else None)
         x_velocity = (x_after - state.x_before) / self.dt
         reward, terminated = self._reward_done(qpos, qvel, ctrl, x_velocity, extras)
         t = state.t + 1
@@ -179,9 +191,66 @@ class MujocoEnv:
             qvel=jnp.where(finite, qvel, jnp.zeros_like(qvel)),
             t=t, key=state.key,
             x_before=jnp.where(finite, x_after, 0.0).astype(self.dtype),
-            qacc_warmstart=jnp.where(finite, extras.fwd.qacc, 0.0).astype(self.dtype),
+            qacc_warmstart=jnp.where(finite, qacc_next, 0.0).astype(self.dtype),
+            nonfinite=(state.nonfinite if state.nonfinite is not None
+                       else jnp.zeros((), jnp.int32)) + (~finite).astype(jnp.int32),
         )
         return new_state, obs, reward, terminated, truncated
+
+    # -- batched step (lane-major physics hot path) ------------------------
+    @property
+    def lanes_eligible(self) -> bool:
+        from ppo_tpu.physics import lanes
+
+        return lanes.lanes_supported(self.model, self.ctx, self.solver_type)
+
+    def step_batch(self, state: EnvState, action, consts=None):
+        """Lockstep step of a batched EnvState [B, ...] — semantically
+        identical to `vmap(step)` but with the physics substeps running in
+        lane-major layout (physics/lanes.py), the bandwidth-optimal layout on
+        TPU. Envs needing last-substep observables (cfrc_ext, cinert, cvel)
+        run the final substep on the reference path so the staleness-parity
+        reads are untouched; the remaining substeps use the lane path."""
+        from ppo_tpu.physics import lanes
+
+        if self.batch_impl != "lanes" or not self.lanes_eligible:
+            return jax.vmap(self.step, in_axes=(0, 0, None))(state, action, consts)
+        m, ctx = self._inject(consts)
+        ctrl = jnp.clip(
+            action.astype(self.dtype),
+            jnp.asarray(m.actuator_ctrlrange[:, 0], self.dtype),
+            jnp.asarray(m.actuator_ctrlrange[:, 1], self.dtype),
+        )
+        if self.needs_cfrc:
+            qpos, qvel, ws = lanes.substeps_batched(
+                m, ctx, state.qpos, state.qvel, ctrl, state.qacc_warmstart,
+                self.iterations, self.frame_skip - 1,
+            )
+
+            def final(qp, qv, ct, w):
+                qp2, qv2, fwd = forward.step(
+                    m, ctx, qp, qv, ct, self.iterations, self.solver_type, w
+                )
+                extras = StepExtras(
+                    fwd=fwd,
+                    cfrc_ext=forward.rne_post_constraint(m, fwd.com, fwd.vel, fwd),
+                    ctrl=ct,
+                )
+                return qp2, qv2, extras
+
+            qpos, qvel, extras = jax.vmap(final)(qpos, qvel, ctrl, ws)
+            qacc_next = extras.fwd.qacc
+            return jax.vmap(
+                self._post_step, in_axes=(None, 0, 0, 0, 0, 0, 0)
+            )(m, state, qpos, qvel, ctrl, extras, qacc_next)
+
+        qpos, qvel, qacc_next = lanes.substeps_batched(
+            m, ctx, state.qpos, state.qvel, ctrl, state.qacc_warmstart,
+            self.iterations, self.frame_skip,
+        )
+        return jax.vmap(
+            self._post_step, in_axes=(None, 0, 0, 0, 0, None, 0)
+        )(m, state, qpos, qvel, ctrl, None, qacc_next)
 
 
 class HalfCheetah(MujocoEnv):

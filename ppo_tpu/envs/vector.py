@@ -98,10 +98,17 @@ class VectorEnv:
         if self.clip_actions:
             actions = jnp.clip(actions, self.env.action_low, self.env.action_high)
 
-        # stepped branch
-        new_env, obs_s, rew_s, term_s, trunc_s = jax.vmap(
-            self.env.step, in_axes=(0, 0, None)
-        )(state.env, actions, state.consts)
+        # stepped branch: MujocoEnv.step_batch runs the physics substeps in
+        # lane-major layout (physics/lanes.py) — identical semantics to
+        # vmap(step), bandwidth-optimal on TPU
+        if hasattr(self.env, "step_batch"):
+            new_env, obs_s, rew_s, term_s, trunc_s = self.env.step_batch(
+                state.env, actions, state.consts
+            )
+        else:
+            new_env, obs_s, rew_s, term_s, trunc_s = jax.vmap(
+                self.env.step, in_axes=(0, 0, None)
+            )(state.env, actions, state.consts)
 
         ar = state.autoreset
 
@@ -121,7 +128,12 @@ class VectorEnv:
             reset_env, obs_r = jax.vmap(self.env.reset, in_axes=(0, None))(
                 reset_keys, state.consts
             )
-            return jax.tree.map(sel, reset_env, env_stepped), sel(obs_r, obs_stepped)
+            merged = jax.tree.map(sel, reset_env, env_stepped)
+            if getattr(env_stepped, "nonfinite", None) is not None:
+                # the divergence counter is run-cumulative observability
+                # state, not episode state: survive the autoreset wipe
+                merged = merged.replace(nonfinite=env_stepped.nonfinite)
+            return merged, sel(obs_r, obs_stepped)
 
         def without_reset(env_stepped, obs_stepped):
             return env_stepped, obs_stepped
@@ -142,6 +154,8 @@ class VectorEnv:
             "episode_length": ep_length,
             "done": done,
         }
+        if getattr(env_state, "nonfinite", None) is not None:
+            infos["nonfinite"] = env_state.nonfinite   # [N] cumulative guard hits
         # zero the accumulators after emission
         ep_return_next = jnp.where(done, 0.0, ep_return).astype(self.dtype)
         ep_length_next = jnp.where(done, 0, ep_length)

@@ -75,6 +75,8 @@ def inject(m, ctx, consts: dict):
     )
     m2.body_root_c = consts["m.body_root_c"]
     m2.dof_root_c = consts["m.dof_root_c"]
+    # static copy for code that unrolls geoms in Python (physics/lanes.py)
+    m2.geom_bodyid_np = np.asarray(m.geom_bodyid)
     slots2 = ctx.slots._replace(
         **{f: consts[f"s.{f}"] for f in SLOT_FIELDS + INT_SLOT_FIELDS}
     )

@@ -1,0 +1,895 @@
+"""Lane-major (batch-last) physics step: the vectorized-env hot path.
+
+The reference steps each env serially on the CPU (libs/gymcpp/mujoco/
+mujoco_env.h:97-108, one mj_step per env per thread); the TPU-native design
+steps thousands of envs in lockstep. `vmap` over the single-env step works but
+lays every intermediate out with the tiny physics dims trailing ([B, nbody, 6,
+6], [B, nv], ...), which XLA tiles on the (sublane, lane) = (8, 128) grid —
+padding nv<=23 and 3-vectors up to 128 lanes and wasting ~10-40x HBM traffic
+on every fusion boundary (measured: the vmapped substep is bandwidth-bound at
+~4.3 ms for 4096 HalfCheetah envs, >20x above its flop cost).
+
+This module reimplements the whole substep pipeline with the env batch in the
+LAST axis of every array ([*, B]): every elementwise op runs on full 128-lane
+tiles with zero padding, reductions are over small leading axes, and there are
+no matmuls to mis-tile (all contractions are broadcast-multiply-reduce over
+dims of size 3/6/nv). The math is the same pipeline as physics/forward.py
+(kinematics -> com -> CRB -> RNE -> passive/actuation -> qacc_smooth ->
+collision -> constraint rows -> Newton -> integrate) and is tested for
+equivalence against the vmapped reference path (tests/test_lanes.py).
+
+Supported subset: the four locomotion models (plane/sphere/capsule colliders,
+Newton solver). Models with box colliders fall back to the vmapped reference
+path at the env layer.
+
+No array literals may be embedded in traced code (see physics/consts.py for
+the dispatch pathology); constants arrive through the injected model/ctx.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ppo_tpu.physics import collision, solver
+from ppo_tpu.physics.constraint import MAXIMP, MINIMP
+from ppo_tpu.physics.consts import eye3
+from ppo_tpu.physics.model import Model
+from ppo_tpu.physics.types import EULER, FREE, HINGE, SLIDE
+
+
+# ---------------------------------------------------------------------------
+# component-first ("lane") math: vectors [3, B], quats [4, B], mats [3, 3, B]
+# ---------------------------------------------------------------------------
+
+
+def lcross(a, b):
+    return jnp.stack(
+        [
+            a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0],
+        ],
+        0,
+    )
+
+
+def lquat_mul(q, p):
+    w1, x1, y1, z1 = q[0], q[1], q[2], q[3]
+    w2, x2, y2, z2 = p[0], p[1], p[2], p[3]
+    return jnp.stack(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ],
+        0,
+    )
+
+
+def lquat_rot(q, v):
+    qv, w = q[1:], q[0]
+    t = 2.0 * lcross(qv, v)
+    return v + w * t + lcross(qv, t)
+
+
+def lquat_to_mat(q):
+    w, x, y, z = q[0], q[1], q[2], q[3]
+    r0 = jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], 0)
+    r1 = jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], 0)
+    r2 = jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], 0)
+    return jnp.stack([r0, r1, r2], 0)
+
+
+def lnormalize(v, axis=0, eps=1e-30):
+    return v / jnp.maximum(jnp.sqrt(jnp.sum(v * v, axis, keepdims=True)), eps)
+
+
+def lquat_exp(phi):
+    """[3, B] rotation vector -> [4, B] quaternion (pm.quat_exp semantics)."""
+    angle = jnp.sqrt(jnp.sum(phi * phi, 0))
+    small = angle < 1e-12
+    safe = jnp.where(small, 1.0, angle)
+    axis = jnp.where(small, 0.0, phi / safe)
+    # pm.quat_exp falls back to the e0 axis for tiny angles; sin(~0)=0 makes
+    # the xyz part vanish either way, so zeroing the axis is equivalent.
+    half = angle / 2.0
+    return jnp.concatenate([jnp.cos(half)[None], axis * jnp.sin(half)[None]], 0)
+
+
+def lquat_integrate(q, omega, dt):
+    out = lquat_mul(q, lquat_exp(omega * dt))
+    return out / jnp.sqrt(jnp.sum(out * out, 0, keepdims=True))
+
+
+def lmotion_cross(v, u):
+    ang = lcross(v[:3], u[:3])
+    lin = lcross(v[:3], u[3:]) + lcross(v[3:], u[:3])
+    return jnp.concatenate([ang, lin], 0)
+
+
+def lforce_cross(v, f):
+    ang = lcross(v[:3], f[:3]) + lcross(v[3:], f[3:])
+    lin = lcross(v[:3], f[3:])
+    return jnp.concatenate([ang, lin], 0)
+
+
+def _bc(v, B):
+    """Broadcast a constant [k] vector to [k, B] lanes."""
+    return jnp.broadcast_to(v[:, None], (v.shape[0], B))
+
+
+def _static_geom_bodyid(m: Model) -> np.ndarray:
+    """geom_bodyid as static numpy: consts injection swaps the model field for
+    a traced array, but lanes unrolls geoms in Python (the static copy is
+    stashed by consts.inject as geom_bodyid_np)."""
+    gb = getattr(m, "geom_bodyid_np", None)
+    if gb is None:
+        gb = m.geom_bodyid
+    return np.asarray(gb).astype(int)
+
+
+def matvec(M, x):
+    """[n, m, B] @ [m, B] -> [n, B] as broadcast-multiply-reduce."""
+    return jnp.sum(M * x[None, :, :], 1)
+
+
+# ---------------------------------------------------------------------------
+# smooth dynamics (lane ports of physics/smooth.py)
+# ---------------------------------------------------------------------------
+
+
+class KinL(NamedTuple):
+    xpos: jnp.ndarray        # [nbody, 3, B]
+    xquat: jnp.ndarray       # [nbody, 4, B]
+    xmat: jnp.ndarray        # [nbody, 3, 3, B]
+    xipos: jnp.ndarray       # [nbody, 3, B]
+    ximat: jnp.ndarray       # [nbody, 3, 3, B]
+    xanchor: jnp.ndarray     # [njnt, 3, B]
+    xaxis: jnp.ndarray       # [njnt, 3, B]
+    geom_xpos: jnp.ndarray   # [ngeom, 3, B]
+    geom_xmat: jnp.ndarray   # [ngeom, 3, 3, B]
+
+
+class ComL(NamedTuple):
+    subtree_com: jnp.ndarray  # [nbody, 3, B]
+    cinert: jnp.ndarray       # [nbody, 6, 6, B]
+    cdof: jnp.ndarray         # [nv, 6, B]
+
+
+class VelL(NamedTuple):
+    cvel: jnp.ndarray        # [nbody, 6, B]
+    cdof_dot: jnp.ndarray    # [nv, 6, B]
+
+
+def _rot_const(A, C):
+    """[3, 3, B] @ const [3, 3] -> [3, 3, B]."""
+    return jnp.sum(A[:, :, None, :] * C[None, :, :, None], 1)
+
+
+def kinematics_l(m: Model, qpos) -> KinL:
+    """smooth.kinematics with batch-last layout (mj_kinematics semantics)."""
+    dtype = qpos.dtype
+    B = qpos.shape[-1]
+    body_pos = jnp.asarray(m.body_pos, dtype)
+    body_quat = jnp.asarray(m.body_quat, dtype)
+    jnt_pos = jnp.asarray(m.jnt_pos, dtype)
+    jnt_axis = jnp.asarray(m.jnt_axis, dtype)
+    qpos0 = jnp.asarray(m.qpos0, dtype)
+
+    zero3 = jnp.zeros((3, B), dtype)
+    xpos = [zero3] * m.nbody
+    unit_q = jnp.concatenate([jnp.ones((1, B), dtype), jnp.zeros((3, B), dtype)], 0)
+    xquat = [unit_q] * m.nbody
+    xanchor = [None] * m.njnt
+    xaxis = [None] * m.njnt
+
+    for b in range(1, m.nbody):
+        p = m.body_parentid[b]
+        pos = xpos[p] + lquat_rot(xquat[p], _bc(body_pos[b], B))
+        quat = lquat_mul(xquat[p], _bc(body_quat[b], B))
+        j0, jn = m.body_jntadr[b], m.body_jntnum[b]
+        for j in range(j0, j0 + jn):
+            jtype = m.jnt_type[j]
+            qadr = m.jnt_qposadr[j]
+            if jtype == FREE:
+                pos = qpos[qadr : qadr + 3]
+                q = qpos[qadr + 3 : qadr + 7]
+                quat = q / jnp.sqrt(jnp.sum(q * q, 0, keepdims=True))
+                xanchor[j] = pos
+                xaxis[j] = _bc(jnt_axis[j], B)
+            elif jtype == SLIDE:
+                axis_w = lquat_rot(quat, _bc(jnt_axis[j], B))
+                xanchor[j] = pos + lquat_rot(quat, _bc(jnt_pos[j], B))
+                xaxis[j] = axis_w
+                pos = pos + axis_w * (qpos[qadr] - qpos0[qadr])
+            elif jtype == HINGE:
+                anchor = pos + lquat_rot(quat, _bc(jnt_pos[j], B))
+                xanchor[j] = anchor
+                xaxis[j] = lquat_rot(quat, _bc(jnt_axis[j], B))
+                angle = qpos[qadr] - qpos0[qadr]
+                qloc = jnp.concatenate(
+                    [jnp.cos(angle / 2)[None], jnt_axis[j][:, None] * jnp.sin(angle / 2)[None]], 0
+                )
+                quat = lquat_mul(quat, qloc)
+                pos = anchor - lquat_rot(quat, _bc(jnt_pos[j], B))
+            else:
+                raise NotImplementedError(f"joint type {jtype}")
+        xpos[b] = pos
+        xquat[b] = quat
+
+    xmat = [lquat_to_mat(q) for q in xquat]
+    ipos = jnp.asarray(m.body_ipos, dtype)
+    xipos = []
+    ximat = []
+    # body_iquat rotations are per-model constants: build their 3x3 matrices
+    # once at trace time from the injected quats (no batch axis)
+    biq = jnp.asarray(m.body_iquat, dtype)
+    for b in range(m.nbody):
+        xipos.append(xpos[b] + matvec(xmat[b], _bc(ipos[b], B)))
+        w, x, y, z = biq[b, 0], biq[b, 1], biq[b, 2], biq[b, 3]
+        Cq = jnp.stack(
+            [
+                jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)]),
+                jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)]),
+                jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]),
+            ]
+        )
+        ximat.append(_rot_const(xmat[b], Cq))
+
+    geom_pos = jnp.asarray(m.geom_pos, dtype)
+    geom_quat = jnp.asarray(m.geom_quat, dtype)
+    geom_xpos = []
+    geom_xmat = []
+    gb = _static_geom_bodyid(m)
+    for g in range(len(gb)):
+        b = int(gb[g])
+        geom_xpos.append(xpos[b] + matvec(xmat[b], _bc(geom_pos[g], B)))
+        w, x, y, z = geom_quat[g, 0], geom_quat[g, 1], geom_quat[g, 2], geom_quat[g, 3]
+        Cg = jnp.stack(
+            [
+                jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)]),
+                jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)]),
+                jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]),
+            ]
+        )
+        geom_xmat.append(_rot_const(xmat[b], Cg))
+
+    return KinL(
+        xpos=jnp.stack(xpos),
+        xquat=jnp.stack(xquat),
+        xmat=jnp.stack(xmat),
+        xipos=jnp.stack(xipos),
+        ximat=jnp.stack(ximat),
+        xanchor=jnp.stack(xanchor) if m.njnt else jnp.zeros((0, 3, B), dtype),
+        xaxis=jnp.stack(xaxis) if m.njnt else jnp.zeros((0, 3, B), dtype),
+        geom_xpos=jnp.stack(geom_xpos),
+        geom_xmat=jnp.stack(geom_xmat),
+    )
+
+
+def com_quantities_l(m: Model, kin: KinL) -> ComL:
+    dtype = kin.xpos.dtype
+    B = kin.xpos.shape[-1]
+    mass = jnp.asarray(m.body_mass, dtype)
+    inertia = jnp.asarray(m.body_inertia, dtype)
+
+    sub_mass = [mass[b] for b in range(m.nbody)]
+    sub_mom = [mass[b] * kin.xipos[b] for b in range(m.nbody)]
+    for b in range(m.nbody - 1, 0, -1):
+        p = m.body_parentid[b]
+        sub_mass[p] = sub_mass[p] + sub_mass[b]
+        sub_mom[p] = sub_mom[p] + sub_mom[b]
+    subtree_com = [sub_mom[b] / jnp.maximum(sub_mass[b], 1e-12) for b in range(m.nbody)]
+
+    # c-frame origins need static root ids (Python list indexing); body_rootid
+    # is never swapped by consts injection
+    rootid = np.maximum(np.asarray(m.body_rootid), 0)
+
+    eye = eye3(dtype)
+    cinert = []
+    for b in range(m.nbody):
+        O = subtree_com[int(rootid[b])]
+        R = kin.ximat[b]                                 # [3, 3, B]
+        # I_world = R diag(inertia) R^T
+        Iw = jnp.sum(R[:, None, :, :] * R[None, :, :, :] * inertia[b][None, None, :, None], 2)
+        c = kin.xipos[b] - O                             # [3, B]
+        cc = jnp.sum(c * c, 0)                           # [B]
+        outer = c[:, None, :] * c[None, :, :]            # [3, 3, B]
+        zero = jnp.zeros_like(c[0])
+        cs = jnp.stack(
+            [
+                jnp.stack([zero, -c[2], c[1]], 0),
+                jnp.stack([c[2], zero, -c[0]], 0),
+                jnp.stack([-c[1], c[0], zero], 0),
+            ],
+            0,
+        )
+        tl = Iw + mass[b] * (cc[None, None, :] * eye[:, :, None] - outer)
+        tr = mass[b] * cs
+        bl = -mass[b] * cs
+        br = mass[b] * eye[:, :, None] * jnp.ones((1, 1, B), dtype)
+        cinert.append(
+            jnp.concatenate(
+                [jnp.concatenate([tl, tr], 1), jnp.concatenate([bl, br], 1)], 0
+            )
+        )
+
+    cdofs = []
+    zero3 = jnp.zeros((3, B), dtype)
+    for j in range(m.njnt):
+        jtype = m.jnt_type[j]
+        b = int(m.jnt_bodyid[j])
+        O = subtree_com[int(rootid[b])]
+        if jtype == FREE:
+            eyeB = eye[:, :, None]
+            for i in range(3):
+                e = jnp.broadcast_to(eyeB[:, i], (3, B))
+                cdofs.append(jnp.concatenate([zero3, e], 0))
+            for i in range(3):
+                a = kin.xmat[b][:, i]                    # [3, B]
+                cdofs.append(jnp.concatenate([a, lcross(a, O - kin.xpos[b])], 0))
+        elif jtype == SLIDE:
+            cdofs.append(jnp.concatenate([zero3, kin.xaxis[j]], 0))
+        elif jtype == HINGE:
+            a = kin.xaxis[j]
+            cdofs.append(jnp.concatenate([a, lcross(a, O - kin.xanchor[j])], 0))
+    cdof = jnp.stack(cdofs) if cdofs else jnp.zeros((0, 6, B), dtype)
+    return ComL(subtree_com=jnp.stack(subtree_com), cinert=jnp.stack(cinert), cdof=cdof)
+
+
+def _static_mask(m: Model) -> np.ndarray:
+    """Ancestor mask recomputed from the model's (always static) tree arrays
+    — ctx.mask may be a traced array after consts injection."""
+    from ppo_tpu.physics import smooth
+
+    return smooth.ancestor_mask(m)
+
+
+def crb_mass_matrix_l(m: Model, com: ComL) -> jnp.ndarray:
+    """M [nv, nv, B] by composite-rigid-body accumulation + masked contraction
+    (equals smooth.crb_mass_matrix's einsum; see tests/test_lanes.py)."""
+    dtype = com.cdof.dtype
+    mask = _static_mask(m)
+    crb = [com.cinert[b] for b in range(m.nbody)]
+    for b in range(m.nbody - 1, 0, -1):
+        p = m.body_parentid[b]
+        if p > 0:
+            crb[p] = crb[p] + crb[b]
+    # F[w] = crb[body(w)] @ cdof[w]
+    F = jnp.stack([matvec(crb[int(m.dof_bodyid[w])], com.cdof[w]) for w in range(m.nv)])
+    # anc[v, w] = dof v lies on body(w)'s ancestor chain; intersect with the
+    # upper triangle so same-body dof pairs (free joints) are counted once
+    anc = np.triu(mask[np.asarray(m.dof_bodyid)].T)      # [nv(v), nv(w)]
+    U = jnp.sum(com.cdof[:, None, :, :] * F[None, :, :, :], 2)   # [v, w, B]
+    U = U * jnp.asarray(anc[:, :, None], dtype)
+    r = jax.lax.broadcasted_iota(jnp.int32, (m.nv, m.nv), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (m.nv, m.nv), 1)
+    eyev = (r == c).astype(dtype)[:, :, None]
+    M = U + jnp.swapaxes(U, 0, 1) - U * eyev
+    return M + jnp.asarray(m.dof_armature, dtype)[:, None, None] * eyev
+
+
+def com_velocities_l(m: Model, com: ComL, qvel) -> VelL:
+    dtype = com.cdof.dtype
+    B = qvel.shape[-1]
+    zero6 = jnp.zeros((6, B), dtype)
+    cvel = [zero6] * m.nbody
+    cdof_dot = [zero6] * m.nv
+    for b in range(1, m.nbody):
+        v = cvel[m.body_parentid[b]]
+        j0, jn = m.body_jntadr[b], m.body_jntnum[b]
+        for j in range(j0, j0 + jn):
+            jtype = m.jnt_type[j]
+            d0 = m.jnt_dofadr[j]
+            if jtype == FREE:
+                v = (
+                    v
+                    + com.cdof[d0] * qvel[d0]
+                    + com.cdof[d0 + 1] * qvel[d0 + 1]
+                    + com.cdof[d0 + 2] * qvel[d0 + 2]
+                )
+                for i in range(3, 6):
+                    cdof_dot[d0 + i] = lmotion_cross(v, com.cdof[d0 + i])
+                for i in range(3, 6):
+                    v = v + com.cdof[d0 + i] * qvel[d0 + i]
+            else:
+                cdof_dot[d0] = lmotion_cross(v, com.cdof[d0])
+                v = v + com.cdof[d0] * qvel[d0]
+        cvel[b] = v
+    return VelL(
+        cvel=jnp.stack(cvel),
+        cdof_dot=jnp.stack(cdof_dot) if m.nv else jnp.zeros((0, 6, B), dtype),
+    )
+
+
+def rne_bias_l(m: Model, com: ComL, vel: VelL, qvel) -> jnp.ndarray:
+    """qfrc_bias [nv, B] (mj_rne flg_acc=0) via subtree force accumulation."""
+    dtype = qvel.dtype
+    B = qvel.shape[-1]
+    gravity = jnp.asarray(m.opt.gravity, dtype)
+    cacc0 = jnp.concatenate([jnp.zeros((3, B), dtype), _bc(-gravity, B)], 0)
+    cacc = [cacc0] * m.nbody
+    for b in range(1, m.nbody):
+        a = cacc[m.body_parentid[b]]
+        d0, dn = m.body_dofadr[b], m.body_dofnum[b]
+        for i in range(d0, d0 + dn):
+            a = a + vel.cdof_dot[i] * qvel[i]
+        cacc[b] = a
+
+    f = [
+        matvec(com.cinert[b], cacc[b])
+        + lforce_cross(vel.cvel[b], matvec(com.cinert[b], vel.cvel[b]))
+        for b in range(m.nbody)
+    ]
+    # fsub[b] = sum of f over b's subtree; qfrc[v] = cdof[v] . fsub[body(v)]
+    fsub = list(f)
+    for b in range(m.nbody - 1, 0, -1):
+        p = m.body_parentid[b]
+        if p > 0:
+            fsub[p] = fsub[p] + fsub[b]
+    rows = [jnp.sum(com.cdof[v] * fsub[int(m.dof_bodyid[v])], 0) for v in range(m.nv)]
+    return jnp.stack(rows) if rows else jnp.zeros((0, B), dtype)
+
+
+def passive_forces_l(m: Model, qpos, qvel) -> jnp.ndarray:
+    dtype = qvel.dtype
+    qfrc = -jnp.asarray(m.dof_damping, dtype)[:, None] * qvel
+    for j in range(m.njnt):
+        if m.jnt_stiffness[j] == 0.0:
+            continue
+        jtype = m.jnt_type[j]
+        qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+        k = float(m.jnt_stiffness[j])
+        spring = jnp.asarray(m.qpos_spring, dtype)
+        if jtype in (SLIDE, HINGE):
+            qfrc = qfrc.at[dadr].add(-k * (qpos[qadr] - spring[qadr]))
+        else:
+            qfrc = qfrc.at[dadr : dadr + 3].add(
+                -k * (qpos[qadr : qadr + 3] - spring[qadr : qadr + 3][:, None])
+            )
+    return qfrc
+
+
+def actuator_forces_l(m: Model, ctrl) -> jnp.ndarray:
+    """Motor transmission [nv, B] (smooth.actuator_forces port)."""
+    dtype = ctrl.dtype
+    B = ctrl.shape[-1]
+    qfrc = jnp.zeros((m.nv, B), dtype)
+    ctrlrange = jnp.asarray(m.actuator_ctrlrange, dtype)
+    for u in range(m.nu):
+        c = ctrl[u]
+        if m.actuator_ctrllimited[u]:
+            c = jnp.clip(c, ctrlrange[u, 0], ctrlrange[u, 1])
+        j = m.actuator_trnid[u]
+        gear = float(np.asarray(m.actuator_gear)[u]) if isinstance(m.actuator_gear, np.ndarray) \
+            else m.actuator_gear[u]
+        qfrc = qfrc.at[m.jnt_dofadr[j]].add(gear * c)
+    return qfrc
+
+
+def spd_solve_l(M, b, iters=None):
+    """x = M^-1 b, M [n, n, B] SPD, b [n, B]: Jacobi-preconditioned CG
+    (physics/math.spd_solve in lane layout; same 2n default)."""
+    n = M.shape[0]
+    iters = iters or 2 * n
+    r_ = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c_ = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    eye = (r_ == c_).astype(M.dtype)
+    diag = jnp.sum(M * eye[:, :, None], 1)
+    Pinv = 1.0 / diag
+
+    x = jnp.zeros_like(b)
+    r = b
+    z = Pinv * r
+    p = z
+    rz = jnp.sum(r * z, 0)
+    for _ in range(iters):
+        hp = matvec(M, p)
+        alpha = rz / jnp.maximum(jnp.sum(p * hp, 0), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * hp
+        z = Pinv * r
+        rz2 = jnp.sum(r * z, 0)
+        beta = rz2 / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        rz = rz2
+    return x
+
+
+# ---------------------------------------------------------------------------
+# collision (lane port of collision.collide, sphere/capsule/plane subset)
+# ---------------------------------------------------------------------------
+
+
+class ContactsL(NamedTuple):
+    dist: jnp.ndarray      # [S, B]
+    pos: jnp.ndarray       # [S, 3, B]
+    frame: jnp.ndarray     # [S, 3, 3, B]
+    active: jnp.ndarray    # [S, B]
+
+
+def _make_frame_l(n):
+    """collision.make_frame in lanes: n [S, 3, B] -> [S, 3, 3, B]."""
+    use_y = jnp.abs(n[:, 1]) < 0.5
+    zero = jnp.zeros_like(n[:, 0])
+    one = jnp.ones_like(n[:, 0])
+    tmp = jnp.stack([zero, jnp.where(use_y, one, zero), jnp.where(use_y, zero, one)], 1)
+    t1 = tmp - jnp.sum(tmp * n, 1, keepdims=True) * n
+    t1 = t1 / jnp.maximum(jnp.sqrt(jnp.sum(t1 * t1, 1, keepdims=True)), 1e-30)
+    t2 = jnp.stack(
+        [
+            n[:, 1] * t1[:, 2] - n[:, 2] * t1[:, 1],
+            n[:, 2] * t1[:, 0] - n[:, 0] * t1[:, 2],
+            n[:, 0] * t1[:, 1] - n[:, 1] * t1[:, 0],
+        ],
+        1,
+    )
+    return jnp.stack([n, t1, t2], 1)
+
+
+def _plane_capsule_frame_l(n, axis):
+    vec = axis - n * jnp.sum(n * axis, 1, keepdims=True)
+    norm2 = jnp.sqrt(jnp.sum(vec * vec, 1, keepdims=True))
+    ex = jnp.concatenate(
+        [jnp.ones_like(n[:, :1]), jnp.zeros_like(n[:, :1]), jnp.zeros_like(n[:, :1])], 1
+    )
+    t1 = jnp.where(norm2 < 1e-14, ex, vec / jnp.maximum(norm2, 1e-30))
+    t2 = jnp.stack(
+        [
+            n[:, 1] * t1[:, 2] - n[:, 2] * t1[:, 1],
+            n[:, 2] * t1[:, 0] - n[:, 0] * t1[:, 2],
+            n[:, 0] * t1[:, 1] - n[:, 1] * t1[:, 0],
+        ],
+        1,
+    )
+    return jnp.stack([n, t1, t2], 1)
+
+
+def collide_l(m: Model, geom_xpos, geom_xmat, slots, kind_masks) -> ContactsL:
+    """Sphere/capsule/plane narrowphase with slot axis leading, batch last
+    (same reduction-to-sphere-sphere structure as collision.collide).
+
+    geom_xpos [ngeom, 3, B], geom_xmat [ngeom, 3, 3, B].
+    """
+    dtype = geom_xpos.dtype
+    B = geom_xpos.shape[-1]
+    S = len(np.asarray(slots.kind))
+    if S == 0:
+        return ContactsL(
+            dist=jnp.zeros((0, B), dtype), pos=jnp.zeros((0, 3, B), dtype),
+            frame=jnp.zeros((0, 3, 3, B), dtype), active=jnp.zeros((0, B), bool),
+        )
+    p1 = geom_xpos[slots.geom1]   # [S, 3, B]
+    p2 = geom_xpos[slots.geom2]
+    R1 = geom_xmat[slots.geom1]   # [S, 3, 3, B]
+    R2 = geom_xmat[slots.geom2]
+    size1 = jnp.asarray(slots.size1, dtype)
+    size2 = jnp.asarray(slots.size2, dtype)
+    r1 = size1[:, 0:1]            # [S, 1] -> broadcasts over B
+    r2 = size2[:, 0:1]
+    hl1 = size1[:, 1:2]
+    hl2 = size2[:, 1:2]
+    axis1 = R1[:, :, 2]           # [S, 3, B]
+    axis2 = R2[:, :, 2]
+    point = jnp.asarray(slots.point, dtype)[:, None]     # [S, 1]
+
+    if kind_masks is None:
+        kind_masks = collision.make_kind_masks(np.asarray(slots.kind))
+    # per-kind masks: m1 for [S, B] selects, m1[:, None] for [S, 3, B]
+    pl1 = kind_masks["is_plane"][:, None]
+    pc1 = kind_masks["is_pc"][:, None]
+    sc1 = kind_masks["is_sc"][:, None]
+    cc1m = kind_masks["is_cc"][:, None]
+
+    c2 = jnp.where(pc1[:, None], p2 + (point * hl2)[:, None] * axis2, p2)
+    t_sc = jnp.clip(jnp.sum((p1 - p2) * axis2, 1), -hl2, hl2)    # [S, B]
+    c2 = jnp.where(sc1[:, None], p2 + t_sc[:, None] * axis2, c2)
+
+    r = p1 - p2
+    a = jnp.sum(axis1 * axis1, 1)
+    e = jnp.sum(axis2 * axis2, 1)
+    bb = jnp.sum(axis1 * axis2, 1)
+    c = jnp.sum(axis1 * r, 1)
+    f = jnp.sum(axis2 * r, 1)
+    denom = a * e - bb * bb
+    ok = jnp.abs(denom) > 1e-12
+    s_par = jnp.where(ok, (bb * f - c * e) / jnp.where(ok, denom, 1.0), 0.0)
+    s_par = jnp.clip(s_par, -hl1, hl1)
+    t_par = jnp.clip((bb * s_par + f) / jnp.maximum(e, 1e-12), -hl2, hl2)
+    s_par = jnp.clip((bb * t_par - c) / jnp.maximum(a, 1e-12), -hl1, hl1)
+    cseg1 = p1 + s_par[:, None] * axis1
+    cseg2 = p2 + t_par[:, None] * axis2
+    c1 = jnp.where(cc1m[:, None], cseg1, p1)
+    c2 = jnp.where(cc1m[:, None], cseg2, c2)
+
+    # sphere-sphere on reduced centers
+    d = c2 - c1
+    L = jnp.sqrt(jnp.sum(d * d, 1))                      # [S, B]
+    up = jnp.concatenate(
+        [jnp.zeros((S, 2, B), dtype), jnp.ones((S, 1, B), dtype)], 1
+    )
+    n_ss = jnp.where((L < 1e-12)[:, None], up, d / jnp.maximum(L, 1e-12)[:, None])
+    dist_ss = L - (r1 + r2)
+    pos_ss = c1 + n_ss * (r1 + 0.5 * dist_ss)[:, None]
+
+    # plane narrowphase
+    n_pl = R1[:, :, 2]
+    cdist = jnp.sum(n_pl * (c2 - p1), 1)
+    dist_pl = cdist - r2
+    pos_pl = c2 - n_pl * (r2 + 0.5 * dist_pl)[:, None]
+
+    dist = jnp.where(pl1, dist_pl, dist_ss)
+    pos = jnp.where(pl1[:, None], pos_pl, pos_ss)
+    n = jnp.where(pl1[:, None], n_pl, n_ss)
+
+    frame = jnp.where(
+        pc1[:, None, None],
+        _plane_capsule_frame_l(n, axis2),
+        _make_frame_l(n),
+    )
+    active = dist < jnp.asarray(slots.includemargin, dtype)[:, None]
+    return ContactsL(dist=dist, pos=pos, frame=frame, active=active)
+
+
+# ---------------------------------------------------------------------------
+# constraint rows (lane port of constraint.make_efc)
+# ---------------------------------------------------------------------------
+
+
+class EfcL(NamedTuple):
+    J: jnp.ndarray        # [ne, nv, B]
+    R: jnp.ndarray        # [ne, B]
+    aref: jnp.ndarray     # [ne, B]
+
+
+def _impedance_l(solimp, r):
+    """constraint.impedance with solimp [rows, 5] (static or traced consts)
+    and r [rows, B]."""
+    dtype = r.dtype
+    solimp = jnp.asarray(solimp, dtype)
+    d0 = solimp[:, 0][:, None]
+    dmax = solimp[:, 1][:, None]
+    width = solimp[:, 2][:, None]
+    mid = solimp[:, 3][:, None]
+    power = solimp[:, 4][:, None]
+    x = jnp.clip(jnp.abs(r) / jnp.where(width <= 0, 1.0, width), 0.0, 1.0)
+    a = 1.0 / mid ** (power - 1.0)
+    b = 1.0 / (1.0 - mid) ** (power - 1.0)
+    y = jnp.where(x < mid, a * x**power, 1.0 - b * (1.0 - x) ** power)
+    y = jnp.where(width <= 0, 1.0, y)
+    return jnp.clip(d0 + y * (dmax - d0), MINIMP, MAXIMP)
+
+
+def make_efc_l(m: Model, meta, com: ComL, qpos, qvel, con: ContactsL) -> EfcL:
+    dtype = qvel.dtype
+    B = qvel.shape[-1]
+    L, S = meta.n_limit, meta.n_slots
+    parts_J, parts_R, parts_aref = [], [], []
+
+    if L:
+        q = qpos[meta.lim_qadr]                           # [L, B] (gather)
+        v = qvel[meta.lim_dadr]
+        lo = jnp.asarray(meta.lim_lo, dtype)[:, None]
+        hi = jnp.asarray(meta.lim_hi, dtype)[:, None]
+        dist_lo = q - lo
+        dist_hi = hi - q
+        lower_closer = dist_lo < dist_hi
+        pos = jnp.minimum(dist_lo, dist_hi)
+        sign = jnp.where(lower_closer, 1.0, -1.0).astype(dtype)
+        J = jnp.asarray(meta.lim_onehot, dtype)[:, :, None] * sign[:, None, :]
+        margin = jnp.asarray(meta.lim_margin, dtype)[:, None]
+        r = pos - margin
+        imp = _impedance_l(meta.lim_solimp, r)
+        aref = (
+            -jnp.asarray(meta.lim_B, dtype)[:, None] * (sign * v)
+            - jnp.asarray(meta.lim_K, dtype)[:, None] * imp * r
+        )
+        Rr = (1.0 - imp) / imp * jnp.asarray(meta.lim_invw, dtype)[:, None]
+        active = pos < margin
+        actf = active.astype(dtype)
+        parts_J.append(J * actf[:, None, :])
+        parts_R.append(jnp.where(active, Rr, 1.0))
+        parts_aref.append(aref * actf)
+
+    if S:
+        NR = meta.n_rows
+        dof_root = np.maximum(
+            np.asarray(m.body_rootid)[np.asarray(m.dof_bodyid)], 0
+        )
+        origins = com.subtree_com[dof_root]               # [nv, 3, B]
+        # translational point jacobian per slot: [S, nv, 3, B]
+        cd_ang = com.cdof[:, :3]                          # [nv, 3, B]
+        cd_lin = com.cdof[:, 3:]
+        rel = con.pos[:, None, :, :] - origins[None]      # [S, nv, 3, B]
+        cross = jnp.stack(
+            [
+                cd_ang[None, :, 1] * rel[:, :, 2] - cd_ang[None, :, 2] * rel[:, :, 1],
+                cd_ang[None, :, 2] * rel[:, :, 0] - cd_ang[None, :, 0] * rel[:, :, 2],
+                cd_ang[None, :, 0] * rel[:, :, 1] - cd_ang[None, :, 1] * rel[:, :, 0],
+            ],
+            2,
+        )
+        jacp = cd_lin[None] + cross                       # [S, nv, 3, B]
+        maskdiff = jnp.asarray(meta.con_maskdiff, dtype)[:, :, None, None]
+        jacd = maskdiff * jacp
+        # Jf[s, k, n, B] = frame[s, k, :, B] . jacd[s, n, :, B]
+        Jf = jnp.sum(con.frame[:, :, None, :, :] * jacd[:, None, :, :, :], 3)
+        conC = jnp.asarray(meta.con_C, dtype)             # [S, NR, 6]
+        if meta.needs_jacr:
+            # torsional/rolling rows engage the rotational point jacobian
+            jacr = maskdiff * cd_ang[None]                # [S, nv, 3, B]
+            Jr = jnp.sum(con.frame[:, :, None, :, :] * jacr[:, None, :, :, :], 3)
+            Jax_ = jnp.concatenate([Jf, Jr], 1)           # [S, 6, nv, B]
+            conC_use = conC
+        else:
+            Jax_ = Jf                                     # [S, 3, nv, B]
+            conC_use = conC[:, :, :3]
+        # Jrows[s, r, n, B] = sum_k conC[s, r, k] Jax[s, k, n, B]
+        Jrows = jnp.sum(conC_use[:, :, :, None, None] * Jax_[:, None], 2)
+        vel = jnp.sum(Jrows * qvel[None, None, :, :], 2)  # [S, NR, B]
+        rm = jnp.asarray(meta.con_rowmask, dtype)
+
+        r = con.dist - jnp.asarray(meta.con_margin, dtype)[:, None]
+        imp = _impedance_l(meta.con_solimp, r)
+        aref = (
+            -jnp.asarray(meta.con_B, dtype)[:, None, None] * vel
+            - (jnp.asarray(meta.con_K, dtype)[:, None] * imp * r)[:, None, :]
+        )
+        Rr = ((1.0 - imp) / imp)[:, None, :] * jnp.asarray(meta.con_approx, dtype)[:, :, None]
+        active = con.active[:, None, :] & (rm > 0)[:, :, None]
+        actf = active.astype(dtype)
+        parts_J.append((Jrows * actf[:, :, None, :]).reshape(NR * S, m.nv, B))
+        parts_R.append(jnp.where(active, Rr, 1.0).reshape(NR * S, B))
+        parts_aref.append((aref * actf).reshape(NR * S, B))
+
+    if not parts_J:
+        return EfcL(
+            J=jnp.zeros((0, m.nv, B), dtype),
+            R=jnp.zeros((0, B), dtype),
+            aref=jnp.zeros((0, B), dtype),
+        )
+    return EfcL(
+        J=jnp.concatenate(parts_J),
+        R=jnp.concatenate(parts_R),
+        aref=jnp.concatenate(parts_aref),
+    )
+
+
+# ---------------------------------------------------------------------------
+# forward + integrators (lane ports of physics/forward.py)
+# ---------------------------------------------------------------------------
+
+
+class ForwardLOut(NamedTuple):
+    qacc: jnp.ndarray            # [nv, B]
+    qfrc_smooth: jnp.ndarray     # [nv, B]
+    qfrc_constraint: jnp.ndarray # [nv, B]
+    M: jnp.ndarray               # [nv, nv, B]
+
+
+def forward_l(m: Model, ctx, qpos, qvel, ctrl, iterations, warmstart=None) -> ForwardLOut:
+    kin = kinematics_l(m, qpos)
+    com = com_quantities_l(m, kin)
+    M = crb_mass_matrix_l(m, com)
+    vel = com_velocities_l(m, com, qvel)
+    qfrc_bias = rne_bias_l(m, com, vel, qvel)
+    qfrc_smooth = passive_forces_l(m, qpos, qvel) + actuator_forces_l(m, ctrl) - qfrc_bias
+    qacc_smooth = spd_solve_l(M, qfrc_smooth)
+
+    con = collide_l(m, kin.geom_xpos, kin.geom_xmat, ctx.slots, ctx.kind_masks)
+    efc = make_efc_l(m, ctx.meta, com, qpos, qvel, con)
+
+    ne = efc.J.shape[0]
+    if ne:
+        D = 1.0 / efc.R
+        x0 = qacc_smooth if warmstart is None else warmstart
+        f, qacc = solver.solve_newton_lanes(
+            M, efc.J, D, efc.aref, qacc_smooth, x0, iterations
+        )
+        qfrc_constraint = jnp.sum(efc.J * f[:, None, :], 0)
+    else:
+        qacc = qacc_smooth
+        qfrc_constraint = jnp.zeros_like(qfrc_smooth)
+    return ForwardLOut(
+        qacc=qacc, qfrc_smooth=qfrc_smooth, qfrc_constraint=qfrc_constraint, M=M
+    )
+
+
+def integrate_pos_l(m: Model, qpos, qvel, dt):
+    out = qpos
+    for j in range(m.njnt):
+        qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
+        if m.jnt_type[j] == FREE:
+            out = out.at[qadr : qadr + 3].add(dt * qvel[dadr : dadr + 3])
+            q = lquat_integrate(qpos[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], dt)
+            out = out.at[qadr + 3 : qadr + 7].set(q)
+        else:
+            out = out.at[qadr].add(dt * qvel[dadr])
+    return out
+
+
+def _euler_l(m, ctx, qpos, qvel, ctrl, iterations, warmstart):
+    h = m.opt.timestep
+    fwd = forward_l(m, ctx, qpos, qvel, ctrl, iterations, warmstart)
+    if ctx.has_damping:
+        damping = jnp.asarray(m.dof_damping, qvel.dtype)
+        r_ = jax.lax.broadcasted_iota(jnp.int32, (m.nv, m.nv), 0)
+        c_ = jax.lax.broadcasted_iota(jnp.int32, (m.nv, m.nv), 1)
+        eyev = (r_ == c_).astype(qvel.dtype)
+        MhB = fwd.M + (h * damping)[:, None, None] * eyev[:, :, None]
+        dv = h * spd_solve_l(MhB, fwd.qfrc_smooth + fwd.qfrc_constraint)
+    else:
+        dv = h * fwd.qacc
+    qvel_new = qvel + dv
+    qpos_new = integrate_pos_l(m, qpos, qvel_new, h)
+    return qpos_new, qvel_new, fwd.qacc
+
+
+_RK4_A = ((0.5,), (0.0, 0.5), (0.0, 0.0, 1.0))
+_RK4_B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
+
+
+def _rk4_l(m, ctx, qpos, qvel, ctrl, iterations, warmstart):
+    h = m.opt.timestep
+    fwd0 = forward_l(m, ctx, qpos, qvel, ctrl, iterations, warmstart)
+    Fv = [qvel]
+    Fa = [fwd0.qacc]
+    for i in range(3):
+        dv = sum(a * v for a, v in zip(_RK4_A[i], Fv) if a)
+        da = sum(a * acc for a, acc in zip(_RK4_A[i], Fa) if a)
+        qpos_i = integrate_pos_l(m, qpos, dv, h)
+        qvel_i = qvel + h * da
+        fwd_i = forward_l(m, ctx, qpos_i, qvel_i, ctrl, iterations, Fa[-1])
+        Fv.append(qvel_i)
+        Fa.append(fwd_i.qacc)
+    dv = sum(b * v for b, v in zip(_RK4_B, Fv))
+    da = sum(b * a for b, a in zip(_RK4_B, Fa))
+    qpos_new = integrate_pos_l(m, qpos, dv, h)
+    qvel_new = qvel + h * da
+    return qpos_new, qvel_new, Fa[-1]
+
+
+def step_l(m: Model, ctx, qpos, qvel, ctrl, iterations, warmstart):
+    """One lane-major mj_step: [*, B] in, [*, B] out; returns qacc for the
+    next step's warmstart (qacc_warmstart semantics of forward.step)."""
+    if m.opt.integrator == EULER:
+        return _euler_l(m, ctx, qpos, qvel, ctrl, iterations, warmstart)
+    return _rk4_l(m, ctx, qpos, qvel, ctrl, iterations, warmstart)
+
+
+def lanes_supported(m: Model, ctx, solver_type: str) -> bool:
+    """The lane path covers the locomotion subset: Newton solver and
+    sphere/capsule/plane colliders (box kinds keep the vmapped path)."""
+    if solver_type != "newton":
+        return False
+    kind = np.asarray(ctx.slots.kind)
+    return not np.any(kind >= collision.K_PLANE_BOX)
+
+
+def substeps_batched(m: Model, ctx, qpos, qvel, ctrl, warmstart, iterations, n_sub):
+    """Run n_sub substeps in lane layout. Batch-first API: qpos [B, nq] etc.
+    in and out; one transpose at each boundary (the only place the batch axis
+    moves). Returns (qpos, qvel, qacc) with qacc the last substep's
+    qacc_warmstart carry."""
+    if n_sub == 0:
+        return qpos, qvel, warmstart
+    qp = qpos.T
+    qv = qvel.T
+    ct = ctrl.T
+    ws = warmstart.T
+
+    if n_sub == 1:
+        qp, qv, ws = step_l(m, ctx, qp, qv, ct, iterations, ws)
+    else:
+        def body(carry, _):
+            qp, qv, ws = carry
+            qp, qv, ws = step_l(m, ctx, qp, qv, ct, iterations, ws)
+            return (qp, qv, ws), None
+
+        (qp, qv, ws), _ = jax.lax.scan(body, (qp, qv, ws), None, length=n_sub)
+    return qp.T, qv.T, ws.T

@@ -279,6 +279,25 @@ def _newton_pallas(Mt, Jt, Dt, at, qst, x0t, iterations, ls_iterations, interpre
     return f, x
 
 
+def solve_newton_lanes(Mt, Jt, Dt, at, qst, x0t, iterations, ls_iterations=8):
+    """Newton solve for operands ALREADY in lane-major layout (Mt [nv,nv,B],
+    Jt [ne,nv,B], Dt/at [ne,B], qst/x0t [nv,B]): dispatch to the Pallas
+    VMEM-resident kernel when the block budget allows, else run the plain-JAX
+    lane implementation (same math). Used by physics.lanes.forward_l, which
+    keeps the whole substep in lane layout so no transpose is needed here."""
+    ne, nv = Jt.shape[0], Jt.shape[1]
+    B = qst.shape[-1]
+    use_pallas = (
+        jax.default_backend() != "cpu"
+        and ne > 0
+        and B % 128 == 0
+        and _pick_block(ne, nv, B) is not None
+    )
+    if use_pallas:
+        return _newton_pallas(Mt, Jt, Dt, at, qst, x0t, iterations, ls_iterations)
+    return _newton_lanes(Mt, Jt, Dt, at, qst, x0t, iterations, ls_iterations)
+
+
 def solve_newton_batched(M, J, D, aref, qs, x0=None, iterations=10,
                          ls_iterations=8, force_pallas=None, interpret=False):
     """Batch-first API ([B, ...] operands): transpose to lanes and run the

@@ -36,6 +36,7 @@ class ACPPOConfig(PPOConfig):
     update_epochs: int = 4
     clip_coef: float = 0.1
     ent_coef: float = 0.01
+    num_eval_runs: int = 128            # ac_ppo_continuous_action.cpp:76
     agent: str = "beta"
     pipelined: bool = True
     estimate_mean_std: bool = False
@@ -45,6 +46,15 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
     import jax as _jax
 
     verbose = verbose and _jax.process_index() == 0  # rank-0 prints (ac_ppo...cpp:624)
+    if cfg.use_dd_ppo_preempt and verbose:
+        # N/A-by-design here: on-device lockstep vmap collection has no
+        # per-env stragglers to preempt (every env advances in the same XLA
+        # program). The preemption protocol IS wired where stragglers exist —
+        # host-driven external-simulator collection (train_cnn --external_env,
+        # algos/host_collect.py), matching the reference's per-env collector
+        # threads (ac_ppo_continuous_action.cpp:680-722).
+        print("use_dd_ppo_preempt: no-op for lockstep on-device collection; "
+              "see train_cnn --external_env for the host-driven path")
     # fail fast on a bad resume target, before any compilation
     resume_path, resume_it = (None, -1)
     if cfg.resume_from:
@@ -52,14 +62,24 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
         if resume_path is None:
             raise FileNotFoundError(f"no checkpoint under {cfg.resume_from}")
 
-    run_name = f"{cfg.env_id}__{cfg.exp_name}__{cfg.seed}__{int(time.time())}"
-    folder = os.path.join(cfg.exp_folder, run_name)
-    writer = SummaryWriter(folder)
-    writer.add_text("hyperparameters", cfg.to_markdown())
-    with open(os.path.join(folder, "config.json"), "w") as f:
-        f.write(cfg.to_json())
+    # deterministic run folder across ranks; per-rank event files with
+    # rank-0-only hyperparameters (ac_ppo_continuous_action.cpp:420-423)
+    ts = int(time.time())
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
 
-    env = make_env(cfg.env_id, dtype=jnp.float32, solver_iterations=cfg.solver_iterations)
+        ts = int(multihost_utils.broadcast_one_to_all(jnp.int32(ts)))
+    run_name = f"{cfg.env_id}__{cfg.exp_name}__{cfg.seed}__{ts}"
+    folder = os.path.join(cfg.exp_folder, run_name)
+    rank = jax.process_index()
+    writer = SummaryWriter(folder, suffix=f".rank{rank}" if jax.process_count() > 1 else "")
+    if rank == 0:
+        writer.add_text("hyperparameters", cfg.to_markdown())
+        with open(os.path.join(folder, "config.json"), "w") as f:
+            f.write(cfg.to_json())
+
+    env = make_env(cfg.env_id, dtype=jnp.float32, solver_iterations=cfg.solver_iterations,
+                   batch_impl=cfg.batch_impl)
     venv = VectorEnv(env, cfg.num_envs, clip_actions=cfg.clip_actions)  # normalization baked into model
     model = build_model(cfg, env)
     optimizer = ppo.make_optimizer(cfg)
@@ -76,6 +96,18 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
         print("observation_mean =", np.array2string(mean, separator=", "))
         print("observation_std  =", np.array2string(std, separator=", "))
         return None, None
+
+    # resume model+optimizer BEFORE any device placement: restore_state yields
+    # host numpy leaves, which shard_ac_state then places onto the mesh —
+    # valid under multi-process jax.distributed too (ADVICE round 1: feeding
+    # restored host arrays straight into the shard_map'd jit relied on
+    # unverified auto-replication)
+    start_iter = 1
+    if resume_path is not None:
+        restored = ckpt.restore_state(resume_path, {"params": params, "opt_state": opt_state})
+        params, opt_state = restored["params"], restored["opt_state"]
+        start_iter = resume_it + 1
+        writer.add_scalar("charts/restart", 1.0, (start_iter - 1) * cfg.batch_size)
 
     if cfg.num_devices > 1:
         # mesh data parallelism: env shards per device, pmean'd grads — the
@@ -100,14 +132,6 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
         collect = jax.jit(ac_ppo.make_collect_fn(cfg, venv, model))
         update = jax.jit(ac_ppo.make_update_fn(cfg, model, optimizer), donate_argnums=(0, 1))
 
-    # resume model+optimizer, iteration parsed from filename (ac_ppo_carla.cpp:226-255)
-    start_iter = 1
-    if resume_path is not None:
-        restored = ckpt.restore_state(resume_path, {"params": params, "opt_state": opt_state})
-        params, opt_state = restored["params"], restored["opt_state"]
-        start_iter = resume_it + 1
-        writer.add_scalar("charts/restart", 1.0, (start_iter - 1) * cfg.batch_size)
-
     done = done0 if cfg.num_devices > 1 else jnp.zeros(venv.num_envs, bool)
     pending = None  # rollout awaiting its update (pipelined mode)
     global_step = (start_iter - 1) * cfg.batch_size
@@ -115,13 +139,25 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
     windowed: list[float] = []     # best-model tracking (ac_ppo_carla.cpp:456-474)
     best_score = -np.inf
 
+    from ppo_tpu.utils.tictoc import TicToc
+
+    tt = TicToc(verbose=verbose and not cfg.pipelined)
     for iteration in range(start_iter, cfg.num_iterations + 1):
+        it_start = time.perf_counter()
         key, k_up = jax.random.split(key)
         # dispatch collection with the CURRENT policy snapshot
+        tt.tic()
         if ckey is not None:  # DP mode threads a per-device key stack
             env_state, obs, done, ckey, rollout = collect(params, env_state, obs, done, ckey)
         else:
             env_state, obs, done, key, rollout = collect(params, env_state, obs, done, key)
+        if not cfg.pipelined:
+            # phase timing (TicToc parity, ac_ppo...cpp:754/:892): a data-
+            # dependent scalar fetch is the only trustworthy sync on this
+            # runtime; do NOT fetch between dispatches in pipelined mode or
+            # the collect/update overlap would be serialized away
+            float(jax.device_get(rollout.rewards[0, 0]))
+            tt.toc("Time for collection:")
         if cfg.pipelined:
             # update consumes the PREVIOUS rollout -> XLA may overlap it with
             # the in-flight collection (policy one iteration stale, like AC-PPO)
@@ -131,7 +167,11 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
                 stats = None
             pending = rollout
         else:
+            tt.tic()
             params, opt_state, stats = update(params, opt_state, rollout, k_up)
+            if verbose:
+                float(jax.device_get(stats.total_loss))
+                tt.toc("Time for training:")
 
         global_step += cfg.batch_size
         from ppo_tpu.parallel.dp import fetch_host
@@ -162,7 +202,8 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
         sps = int((global_step - (start_iter - 1) * cfg.batch_size) / (time.time() - start))
         writer.add_scalar("charts/SPS", sps, global_step)
         if verbose:
-            print(f"iter {iteration}/{cfg.num_iterations} SPS {sps}")
+            print(f"iter {iteration}/{cfg.num_iterations} SPS {sps} "
+                  f"({time.perf_counter() - it_start:.3f}s)")
         if cfg.checkpoint_every and iteration % cfg.checkpoint_every == 0:
             ckpt.save_state({"params": params, "opt_state": opt_state}, folder, iteration)
 
@@ -186,10 +227,13 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
     returns = ppo.evaluate(
         eval_cfg, venv, model, params, jax.random.PRNGKey(cfg.eval_seed), norm_state=env_state
     )
+    # per-episode eval scalars like the reference (ac_ppo...cpp:965-1001)
+    for i, r in enumerate(returns):
+        writer.add_scalar("eval/episodic_return", float(r), i)
     if len(returns):
         writer.add_scalar("eval/avg_return", float(np.mean(returns)), 0)
         if verbose:
-            print(f"eval avg return: {np.mean(returns):.2f}")
+            print(f"eval avg return over {len(returns)} episodes: {np.mean(returns):.2f}")
     writer.close()
     return params, returns
 

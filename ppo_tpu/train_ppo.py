@@ -52,14 +52,25 @@ def train(cfg: PPOConfig, verbose: bool = True):
         if resume_path is None:
             raise FileNotFoundError(f"no checkpoint under {cfg.resume_from}")
 
-    run_name = f"{cfg.env_id}__{cfg.exp_name}__{cfg.seed}__{int(time.time())}"
-    folder = os.path.join(cfg.exp_folder, run_name)
-    writer = SummaryWriter(folder)
-    writer.add_text("hyperparameters", cfg.to_markdown())
-    with open(os.path.join(folder, "config.json"), "w") as f:
-        f.write(cfg.to_json())
+    # deterministic run folder across ranks (checkpoint/resume paths must
+    # agree); per-rank event files with rank-0-only hyperparameter text
+    # (ac_ppo_continuous_action.cpp:420-423 semantics)
+    ts = int(time.time())
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
 
-    env = make_env(cfg.env_id, dtype=jnp.float32, solver_iterations=cfg.solver_iterations)
+        ts = int(multihost_utils.broadcast_one_to_all(jnp.int32(ts)))
+    run_name = f"{cfg.env_id}__{cfg.exp_name}__{cfg.seed}__{ts}"
+    folder = os.path.join(cfg.exp_folder, run_name)
+    rank = jax.process_index()
+    writer = SummaryWriter(folder, suffix=f".rank{rank}" if jax.process_count() > 1 else "")
+    if rank == 0:
+        writer.add_text("hyperparameters", cfg.to_markdown())
+        with open(os.path.join(folder, "config.json"), "w") as f:
+            f.write(cfg.to_json())
+
+    env = make_env(cfg.env_id, dtype=jnp.float32, solver_iterations=cfg.solver_iterations,
+                   batch_impl=cfg.batch_impl)
     use_wrappers = cfg.agent == "gaussian"  # AC-PPO bakes normalization into the model
     venv = VectorEnv(
         env, cfg.num_envs, clip_actions=cfg.clip_actions,
@@ -140,6 +151,8 @@ def train(cfg: PPOConfig, verbose: bool = True):
         writer.add_scalar("losses/approx_kl", float(s.approx_kl), global_step)
         writer.add_scalar("losses/clipfrac", float(s.clipfrac), global_step)
         writer.add_scalar("losses/discounted_returns", float(out.mean_return), global_step)
+        # divergence-guard observability (f32 NaN terminations mapped to done)
+        writer.add_scalar("charts/nan_terminations", float(np.sum(out.nonfinite)), global_step)
         sps = int((global_step - (start_iter - 1) * cfg.batch_size) / (time.time() - start))
         writer.add_scalar("charts/SPS", sps, global_step)
         if verbose:
