@@ -72,12 +72,20 @@ class TCPStoreServer:
 
 
 class TCPStoreClient:
-    """Counter client (every rank); `get` is cheap enough to poll per rollout."""
+    """Counter client (every rank); `get` is cheap enough to poll per step.
+    Thread-safe: the host collector's per-env threads share one client
+    (the reference gives each env thread its own zmq client; one locked
+    socket is equivalent for a counter protocol)."""
 
     def __init__(self, host: str, port: int):
         self._sock = socket.create_connection((host, port))
+        self._lock = threading.Lock()
 
     def _cmd(self, c: bytes) -> int:
+        with self._lock:
+            return self._cmd_locked(c)
+
+    def _cmd_locked(self, c: bytes) -> int:
         self._sock.sendall(c)
         buf = b""
         while len(buf) < 8:

@@ -45,6 +45,13 @@ class CNNConfig(PPOConfig):
     image_encoder: str = "roach_ln"
     beta_min_a_b_value: float = 1.0
     resume: bool = False
+    # external simulators (the CARLA-style training target): comma-separated
+    # socket addresses, one per env — unix paths or host:port. When set,
+    # collection runs host-driven per-env threads over the native bridge
+    # (algos/host_collect.py) instead of the on-device synthetic env, with
+    # the config handshake pushed to each simulator first
+    # (ac_ppo_carla.cpp:105-126) and optional DD-PPO preemption.
+    external_env: str = ""
     # debug-viz equivalent of the reference's visualize_model cv window
     # (carla_model.h:336-552): every N iterations write viz_%09d.png for env 0
     visualize_interval: int = 0
@@ -75,8 +82,13 @@ def make_collect_fn(cfg: CNNConfig, venv: DictVectorEnv, model):
     return collect
 
 
-def make_update_fn(cfg: CNNConfig, model, optimizer, axis_name=None):
-    def update(params, opt_state, rollout: ac_ppo.Rollout, key):
+def make_update_fn(cfg: CNNConfig, model, optimizer, axis_name=None, preemptable=False):
+    """With preemptable=True the update takes a traced `valid_steps` scalar:
+    GAE masks the uncollected tail (zero-bootstrap quirk preserved,
+    ops/gae.py) and minibatch indices repeat valid samples to refill the
+    batch (ac_ppo_continuous_action.cpp:805-810)."""
+
+    def update(params, opt_state, rollout: ac_ppo.Rollout, key, valid_steps=None):
         next_obs = rollout.next_obs
         next_value = model.apply(
             params, next_obs["bev_semantics"], next_obs["measurements"], next_obs["value_measurements"]
@@ -85,6 +97,7 @@ def make_update_fn(cfg: CNNConfig, model, optimizer, axis_name=None):
             rollout.rewards, rollout.values, rollout.dones, next_value,
             rollout.next_done.astype(rollout.values.dtype),
             cfg.gamma, cfg.gae_lambda,
+            valid_steps=valid_steps if preemptable else None,
         )
         B = rollout.values.shape[0] * rollout.values.shape[1]  # local batch
         flat_obs = jax.tree.map(lambda x: x.reshape((B,) + x.shape[2:]), rollout.obs)
@@ -123,7 +136,18 @@ def make_update_fn(cfg: CNNConfig, model, optimizer, axis_name=None):
             return (optax.apply_updates(params, updates), opt_state), stats
 
         def epoch(carry, k):
-            inds = jax.random.permutation(k, B).reshape(cfg.num_minibatches, mb)
+            inds = jax.random.permutation(k, B)
+            if preemptable:
+                # valid samples form the t-major prefix [0, valid_steps*N):
+                # stable-partition the permutation so its valid entries keep
+                # their order (a uniform randperm of the valid set), then
+                # repeat them cyclically to refill the batch (:805-810)
+                num_envs_local = rollout.values.shape[1]
+                valid_size = jnp.maximum(valid_steps * num_envs_local, 1)
+                order = jnp.argsort(inds >= valid_size, stable=True)
+                vperm = inds[order]
+                inds = vperm[jnp.arange(B) % valid_size]
+            inds = inds.reshape(cfg.num_minibatches, mb)
             return jax.lax.scan(update_mb, carry, inds)
 
         (params, opt_state), stats = jax.lax.scan(
@@ -145,12 +169,27 @@ def train(cfg: CNNConfig, verbose: bool = True):
     import jax as _jax
 
     verbose = verbose and _jax.process_index() == 0  # rank-0 prints (ac_ppo...cpp:624)
-    run_name = f"{cfg.env_id}__{cfg.exp_name}__{cfg.seed}__{int(time.time())}"
+    # deterministic run folder across ranks: all processes must agree on the
+    # checkpoint/resume path (per-process timestamps can straddle a second)
+    ts = int(time.time())
+    if _jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        ts = int(multihost_utils.broadcast_one_to_all(jnp.int32(ts)))
+    run_name = f"{cfg.env_id}__{cfg.exp_name}__{cfg.seed}__{ts}"
     folder = os.path.join(cfg.exp_folder, run_name)
-    writer = SummaryWriter(folder)
-    writer.add_text("hyperparameters", cfg.to_markdown())
-    with open(os.path.join(folder, "config.json"), "w") as f:
-        f.write(cfg.to_json())
+    if _jax.process_index() == 0:
+        # rank-0-only event file and config dump (ADVICE: non-zero ranks were
+        # writing identical allgathered scalars to duplicate files)
+        writer = SummaryWriter(folder)
+        writer.add_text("hyperparameters", cfg.to_markdown())
+        with open(os.path.join(folder, "config.json"), "w") as f:
+            f.write(cfg.to_json())
+    else:
+        from ppo_tpu.utils.tb import NullWriter
+
+        os.makedirs(folder, exist_ok=True)
+        writer = NullWriter()
 
     env = SyntheticDriving(dtype=jnp.float32)
     venv = DictVectorEnv(env, cfg.num_envs)
@@ -187,6 +226,10 @@ def train(cfg: CNNConfig, verbose: bool = True):
             params, opt_state = restored["params"], restored["opt_state"]
             start_iter = it + 1
             writer.add_scalar("charts/restart", 1.0, it * cfg.batch_size)  # restart marker
+
+    if cfg.external_env:
+        return _train_external(cfg, folder, writer, env, model, optimizer,
+                               params, opt_state, start_iter, key, verbose)
 
     done = jnp.zeros(cfg.num_envs, bool)
     ckey = None
@@ -270,6 +313,128 @@ def train(cfg: CNNConfig, verbose: bool = True):
             )
 
     ckpt.save_final({"params": params, "opt_state": opt_state}, folder)
+    writer.close()
+    return params
+
+
+def _train_external(cfg, folder, writer, env, model, optimizer,
+                    params, opt_state, start_iter, key, verbose):
+    """Host-driven training against external simulators (the ac_ppo_carla
+    deployment shape): per-env collector threads over the native bridge,
+    jitted update on device, optional DD-PPO preemption."""
+    from ppo_tpu.algos.host_collect import HostCollector, HostRollout
+    from ppo_tpu.envs.external import ExternalEnv
+    from ppo_tpu.parallel import preempt
+
+    addrs = [a for a in cfg.external_env.split(",") if a]
+    if len(addrs) != cfg.num_envs:
+        raise ValueError(
+            f"--external_env lists {len(addrs)} sockets but num_envs={cfg.num_envs}"
+        )
+    envs = []
+    for a in addrs:
+        if ":" in a and not a.startswith("/"):
+            host, port = a.rsplit(":", 1)
+            envs.append(ExternalEnv(
+                env.obs_shape, env.n_measurements, env.n_value_measurements,
+                env.act_dim, host=host, port=int(port), config_json=cfg.to_json(),
+            ))
+        else:
+            envs.append(ExternalEnv(
+                env.obs_shape, env.n_measurements, env.n_value_measurements,
+                env.act_dim, path=a, config_json=cfg.to_json(),
+            ))
+
+    store_server = store = None
+    if cfg.use_dd_ppo_preempt:
+        if jax.process_index() == 0:
+            # rank 0 hosts the counter service (ac_ppo_continuous_action.cpp:568-573)
+            store_server = preempt.TCPStoreServer("0.0.0.0", cfg.tcp_store_port)
+        store = preempt.TCPStoreClient(cfg.rdzv_addr, cfg.tcp_store_port)
+
+    num_envs_global = cfg.num_envs * jax.process_count()
+    collector = HostCollector(envs, cfg, num_envs_global=num_envs_global, store=store)
+    collector.reset_all(cfg.seed)
+
+    update = jax.jit(
+        make_update_fn(cfg, model, optimizer, preemptable=cfg.use_dd_ppo_preempt),
+        donate_argnums=(0, 1),
+    )
+
+    policy_apply = jax.jit(
+        lambda p, bev, meas, vmeas, k: jax.tree.map(
+            lambda x: x[0],
+            model.get_action_and_value(p, bev[None], meas[None], vmeas[None], k)[:4],
+        )
+    )
+    # per-env RNG streams (per-thread generators, ac_ppo...cpp:601-618)
+    env_keys = [jax.random.fold_in(key, i) for i in range(cfg.num_envs)]
+
+    def policy_fn(obs, i, step):
+        env_keys[i], k = jax.random.split(env_keys[i])
+        a, logp, _, v = policy_apply(
+            params, jnp.asarray(obs.bev_semantics),
+            jnp.asarray(obs.measurements), jnp.asarray(obs.value_measurements), k,
+        )
+        return np.asarray(a), float(logp), float(v)
+
+    rb = HostRollout(cfg.num_steps, cfg.num_envs, env.obs_shape,
+                     env.n_measurements, env.n_value_measurements, env.act_dim)
+    global_step = (start_iter - 1) * cfg.batch_size
+    start = time.time()
+    for iteration in range(start_iter, cfg.num_iterations + 1):
+        if store is not None and jax.process_index() == 0:
+            store.reset()
+        min_steps = collector.collect(policy_fn, rb)
+        tr = ac_ppo.Rollout(
+            obs={
+                "bev_semantics": jnp.asarray(rb.bev),
+                "measurements": jnp.asarray(rb.measurements),
+                "value_measurements": jnp.asarray(rb.value_measurements),
+            },
+            dones=jnp.asarray(rb.dones), actions=jnp.asarray(rb.actions),
+            logprobs=jnp.asarray(rb.logprobs), values=jnp.asarray(rb.values),
+            rewards=jnp.asarray(rb.rewards),
+            next_obs={
+                "bev_semantics": jnp.asarray(rb.next_bev),
+                "measurements": jnp.asarray(rb.next_measurements),
+                "value_measurements": jnp.asarray(rb.next_value_measurements),
+            },
+            next_done=jnp.asarray(rb.next_done), infos={},
+        )
+        key, k_up = jax.random.split(key)
+        if cfg.use_dd_ppo_preempt:
+            params, opt_state, stats = update(
+                params, opt_state, tr, k_up, jnp.int32(min_steps)
+            )
+            writer.add_scalar("charts/min_collected_steps", min_steps, global_step)
+        else:
+            params, opt_state, stats = update(params, opt_state, tr, k_up)
+        global_step += cfg.batch_size
+
+        rets, lens = collector.drain_stats()
+        for r, l in zip(rets[-8:], lens[-8:]):
+            writer.add_scalar("charts/episodic_return", float(r), global_step)
+            writer.add_scalar("charts/episodic_length", float(l), global_step)
+        s = jax.device_get(stats)
+        writer.add_scalar("losses/value_loss", float(s.value_loss), global_step)
+        writer.add_scalar("losses/policy_loss", float(s.policy_loss), global_step)
+        writer.add_scalar("losses/entropy", float(s.entropy), global_step)
+        sps = int((global_step - (start_iter - 1) * cfg.batch_size) / (time.time() - start))
+        writer.add_scalar("charts/SPS", sps, global_step)
+        if verbose:
+            print(f"iter {iteration}/{cfg.num_iterations} SPS {sps} "
+                  f"min_collected {min_steps}")
+        if cfg.checkpoint_every and iteration % cfg.checkpoint_every == 0:
+            ckpt.save_state({"params": params, "opt_state": opt_state}, folder, iteration)
+
+    ckpt.save_final({"params": params, "opt_state": opt_state}, folder)
+    for e in envs:
+        e.close()
+    if store is not None:
+        store.close()
+    if store_server is not None:
+        store_server.close()
     writer.close()
     return params
 

@@ -50,3 +50,57 @@ def test_gae_no_dones_equals_discounted_td():
         jnp.zeros(N), jnp.zeros(N), 1.0, 1.0,
     )
     np.testing.assert_allclose(np.asarray(adv)[:, 0], [5, 4, 3, 2, 1])
+
+
+def test_gae_preempted_valid_steps_matches_reference_quirk():
+    """DD-PPO truncated rollouts (ac_ppo_continuous_action.cpp:758-779): the
+    backward scan starts at min_collected_steps-1 over zero-filled storage and
+    bootstraps next_value ONLY at t == num_steps-1 — a truncated rollout
+    bootstraps from a zero value. compute_gae(valid_steps=...) must reproduce
+    that exactly, including zero rows for the uncollected tail."""
+    rng = np.random.default_rng(3)
+    T, N, valid = 12, 4, 7
+    gamma, lam = 0.99, 0.95
+    rewards = rng.normal(size=(T, N))
+    values = rng.normal(size=(T, N))
+    dones = (rng.random((T, N)) < 0.15).astype(np.float64)
+    next_value = rng.normal(size=N)
+    next_done = (rng.random(N) < 0.1).astype(np.float64)
+    # zero-filled storage beyond the collected rows, like the reference's
+    # preallocated tensors
+    rewards[valid:] = 0.0
+    values[valid:] = 0.0
+    dones[valid:] = 0.0
+
+    ref_adv = np.zeros((T, N))
+    lastgaelam = np.zeros(N)
+    for t in reversed(range(valid)):
+        if t == T - 1:
+            nnt = 1.0 - next_done
+            nv = next_value
+        else:
+            nnt = 1.0 - dones[t + 1]
+            nv = values[t + 1]
+        delta = rewards[t] + gamma * nv * nnt - values[t]
+        lastgaelam = delta + gamma * lam * nnt * lastgaelam
+        ref_adv[t] = lastgaelam
+
+    adv, ret = compute_gae(
+        jnp.asarray(rewards), jnp.asarray(values), jnp.asarray(dones),
+        jnp.asarray(next_value), jnp.asarray(next_done), gamma, lam,
+        valid_steps=jnp.int32(valid),
+    )
+    np.testing.assert_allclose(np.asarray(adv), ref_adv, rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ret), ref_adv + values, rtol=1e-10, atol=1e-12)
+
+    # valid_steps == T must equal the unpreempted path
+    a0, r0 = compute_gae(
+        jnp.asarray(rewards), jnp.asarray(values), jnp.asarray(dones),
+        jnp.asarray(next_value), jnp.asarray(next_done), gamma, lam,
+    )
+    a1, r1 = compute_gae(
+        jnp.asarray(rewards), jnp.asarray(values), jnp.asarray(dones),
+        jnp.asarray(next_value), jnp.asarray(next_done), gamma, lam,
+        valid_steps=jnp.int32(T),
+    )
+    np.testing.assert_allclose(np.asarray(a0), np.asarray(a1), atol=1e-12)
