@@ -36,10 +36,12 @@ def bench_mesh(n_devices: int, num_envs: int = 512, num_steps: int = 16, reps: i
         make_mesh,
     )
 
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
     cfg = PPOConfig(
         env_id="HalfCheetah-v5", num_envs=num_envs, num_steps=num_steps,
         num_minibatches=4, update_epochs=2, total_timesteps=10**9,
-        solver_iterations=8,
+        solver_iterations=4,
     )
     mesh = make_mesh(n_devices)
     env = make_env(cfg.env_id, dtype=jnp.float32, solver_iterations=cfg.solver_iterations)
@@ -51,12 +53,20 @@ def bench_mesh(n_devices: int, num_envs: int = 512, num_steps: int = 16, reps: i
         cfg, venv_g, model, optimizer, jax.random.PRNGKey(0), mesh
     )
     run = jax.jit(lambda r: make_distributed_train_iteration(cfg, venv_l, model, optimizer, mesh)(r, specs))
-    rs, _ = jax.block_until_ready(run(rs))
+    # measurement discipline (see bench.py docstring): on this runtime
+    # block_until_ready returns before remote execution finishes; every timed
+    # window must end with a device_get of a scalar that data-depends on the
+    # work, and reps are chained through the runner state so they can't overlap
+    rs, out = run(rs)
+    float(jax.device_get(out.mean_reward))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        rs, _ = jax.block_until_ready(run(rs))
+        rs, out = run(rs)
+        float(jax.device_get(out.mean_reward))
         times.append(time.perf_counter() - t0)
+    it_done = int(jax.device_get(jax.tree.leaves(rs.iteration)[0]).ravel()[0])
+    assert it_done == reps + 1, f"executed {it_done} iterations != {reps + 1}"
     dt = statistics.median(times)
     return {
         "devices": n_devices,

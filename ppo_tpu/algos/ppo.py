@@ -46,6 +46,7 @@ class IterationOut(NamedTuple):
     episode_done: jax.Array     # [T, N] bool
     mean_reward: jax.Array
     mean_return: jax.Array      # mean GAE return (losses/discounted_returns tag)
+    nonfinite: jax.Array        # [] total divergence-guard activations so far
 
 
 def make_optimizer(cfg: PPOConfig):
@@ -172,6 +173,8 @@ def make_train_iteration(cfg: PPOConfig, venv: VectorEnv, model, optimizer, axis
             episode_done=infos["done"],
             mean_reward=jnp.mean(rewards),
             mean_return=jnp.mean(returns),
+            nonfinite=jnp.sum(infos["nonfinite"][-1])
+            if "nonfinite" in infos else jnp.zeros((), jnp.int32),
         )
         return new_rs, out
 

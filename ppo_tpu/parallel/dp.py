@@ -128,6 +128,7 @@ def make_distributed_train_iteration(cfg: PPOConfig, venv_local: VectorEnv, mode
             stats=stats,
             mean_reward=jax.lax.pmean(out.mean_reward, AXIS),
             mean_return=jax.lax.pmean(out.mean_return, AXIS),
+            nonfinite=jax.lax.psum(out.nonfinite, AXIS),
         )
         return rs, out
 
@@ -139,6 +140,7 @@ def make_distributed_train_iteration(cfg: PPOConfig, venv_local: VectorEnv, mode
             episode_done=P(None, AXIS),
             mean_reward=P(),
             mean_return=P(),
+            nonfinite=P(),
         )
         f = shard_map(
             device_fn, mesh=mesh, in_specs=(specs,), out_specs=(specs, out_specs),

@@ -65,11 +65,29 @@ def recv_parts(sock):
 
 # ---- ensemble -------------------------------------------------------------
 
+def load_serve_config(folder: str, conf_file: str = ""):
+    """Reconstruct the trained architecture like ppo_carla_inference.cpp:66-69:
+    read `config.json` (explicit --path_to_conf_file wins, else the checkpoint
+    folder's copy written by train_cnn) so a non-default encoder /
+    beta_min_a_b_value ensemble is served with the right agent."""
+    from ppo_tpu.train_cnn import CNNConfig
+
+    path = conf_file or os.path.join(folder, "config.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return CNNConfig.from_json(f.read())
+    return CNNConfig()
+
+
 class EnsemblePolicy:
-    def __init__(self, folder: str, sample_type: str = "mean"):
+    def __init__(self, folder: str, sample_type: str = "mean", conf_file: str = ""):
         env = SyntheticDriving()
         self.env = env
-        self.model = RoachCNNActorCritic(act_dim=env.act_dim)
+        cfg = load_serve_config(folder, conf_file)
+        self.model = RoachCNNActorCritic(
+            act_dim=env.act_dim, image_encoder=cfg.image_encoder,
+            beta_min_a_b_value=cfg.beta_min_a_b_value,
+        )
         template = self.model.init_params(
             jax.random.PRNGKey(0), env.obs_shape, env.n_measurements, env.n_value_measurements
         )
@@ -110,7 +128,7 @@ class EnsemblePolicy:
         return np.asarray(a), np.asarray(v), np.asarray(al), np.asarray(be)
 
 
-def serve(folder: str, address, once: bool = False):
+def serve(folder: str, address, once: bool = False, conf_file: str = ""):
     env = SyntheticDriving()
     if isinstance(address, str):
         sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
@@ -124,7 +142,7 @@ def serve(folder: str, address, once: bool = False):
     conn, _ = sock.accept()
     # handshake: sample type from the eval agent (ppo_carla_inference.cpp:88-90)
     sample_type = recv_parts(conn)[0].decode()
-    policy = EnsemblePolicy(folder, sample_type)
+    policy = EnsemblePolicy(folder, sample_type, conf_file=conf_file)
     H, W, C = env.obs_shape
     while True:
         parts = recv_parts(conn)
@@ -150,9 +168,10 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=0)
     args = p.parse_args(argv)
     if args.port:
-        serve(args.folder, ("127.0.0.1", args.port))
+        serve(args.folder, ("127.0.0.1", args.port), conf_file=args.path_to_conf_file)
     else:
-        serve(args.folder, os.path.join(args.ipc_path, "ppo_tpu_serve.sock"))
+        serve(args.folder, os.path.join(args.ipc_path, "ppo_tpu_serve.sock"),
+              conf_file=args.path_to_conf_file)
 
 
 if __name__ == "__main__":

@@ -97,9 +97,9 @@ def _text_event(tag: str, text: str, step: int, wall_time: float) -> bytes:
 class SummaryWriter:
     """Scalar/text event writer with the standard tfevents file naming."""
 
-    def __init__(self, logdir: str):
+    def __init__(self, logdir: str, suffix: str = ""):
         os.makedirs(logdir, exist_ok=True)
-        fname = f"events.out.tfevents.{int(time.time())}.{socket.gethostname()}"
+        fname = f"events.out.tfevents.{int(time.time())}.{socket.gethostname()}{suffix}"
         self.path = os.path.join(logdir, fname)
         self._f = open(self.path, "ab")
         self._write_event(
@@ -122,3 +122,19 @@ class SummaryWriter:
 
     def close(self):
         self._f.close()
+
+
+class NullWriter:
+    """No-op writer for non-zero ranks (rank-0 logging gating,
+    ac_ppo_carla's single-events-file semantics)."""
+
+    path = None
+
+    def add_scalar(self, tag, value, step):
+        pass
+
+    def add_text(self, tag, text, step=0):
+        pass
+
+    def close(self):
+        pass

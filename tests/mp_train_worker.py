@@ -85,10 +85,24 @@ def main():
     for a, b in zip(jax.tree.leaves(template.params), jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    # RESUME under data parallelism (ADVICE round 1): the restored host-numpy
+    # runner state must be routed back onto the mesh via put_global, then
+    # training continues — one more distributed iteration from the restored
+    # state, finite and hash-identical across processes
+    rs3 = dp.put_global(restored, specs, mesh)
+    rs4, out2 = jax.jit(lambda r: run(r, specs))(rs3)
+    jax.block_until_ready(rs4.params)
+    h2 = hashlib.sha256()
+    for leaf in jax.tree.leaves(rs4.params):
+        local = np.asarray(leaf.addressable_data(0))
+        assert np.all(np.isfinite(local))
+        h2.update(local.tobytes())
+    assert int(jax.device_get(rs4.iteration.addressable_data(0)).ravel()[0]) == 2
+
     pathlib.Path(out_dir, f"proc{pid}.txt").write_text(
-        f"{h.hexdigest()} stats_ok={stats_ok}\n"
+        f"{h.hexdigest()} stats_ok={stats_ok} resume={h2.hexdigest()}\n"
     )
-    print(f"proc {pid}: {h.hexdigest()[:16]} ok", flush=True)
+    print(f"proc {pid}: {h.hexdigest()[:16]} resume {h2.hexdigest()[:16]} ok", flush=True)
 
 
 if __name__ == "__main__":

@@ -18,6 +18,9 @@ import pytest
 WORKER = os.path.join(os.path.dirname(__file__), "mp_train_worker.py")
 
 
+pytestmark = pytest.mark.slow
+
+
 def _free_port() -> int:
     with socket.socket() as s:
         s.bind(("localhost", 0))

@@ -16,6 +16,9 @@ from ppo_tpu.physics import collision, forward, smooth
 from ppo_tpu.physics.model import gym_asset_path, load_model
 
 
+pytestmark = pytest.mark.slow
+
+
 def load_pair(xml):
     path = gym_asset_path(xml)
     m = smooth.set_const(load_model(path))

@@ -49,3 +49,48 @@ def test_ensemble_serve_roundtrip(tmp_path):
     assert value.shape == (B,)
     cl.close()
     t.join()
+
+
+def test_serve_config_roundtrip_nondefault_encoder(tmp_path):
+    """ppo_carla_inference.cpp:66-69 parity: the server reconstructs the
+    trained architecture from the folder's config.json — a roach_ln2 ensemble
+    must be served with the roach_ln2 encoder (different param tree)."""
+    from ppo_tpu.envs.synthetic_driving import SyntheticDriving
+    from ppo_tpu.models import RoachCNNActorCritic
+    from ppo_tpu.serve import EnsemblePolicy
+    from ppo_tpu.train_cnn import CNNConfig
+    from ppo_tpu.utils import checkpoint as ckpt
+
+    env = SyntheticDriving()
+    cfg = CNNConfig(image_encoder="roach_ln2", beta_min_a_b_value=2.0)
+    model = RoachCNNActorCritic(
+        act_dim=env.act_dim, image_encoder=cfg.image_encoder,
+        beta_min_a_b_value=cfg.beta_min_a_b_value,
+    )
+    params = model.init_params(
+        jax.random.PRNGKey(0), env.obs_shape, env.n_measurements, env.n_value_measurements
+    )
+    ckpt.save_state({"params": params}, tmp_path, 0, keep_old=True)
+    (tmp_path / "config.json").write_text(cfg.to_json())
+
+    policy = EnsemblePolicy(str(tmp_path), "mean")
+    assert policy.model.image_encoder == "roach_ln2"
+    assert policy.model.beta_min_a_b_value == 2.0
+    B = 2
+    a, v, al, be = policy(
+        np.zeros((B,) + env.obs_shape, np.uint8),
+        np.zeros((B, env.n_measurements), np.float32),
+        np.zeros((B, env.n_value_measurements), np.float32),
+    )
+    assert a.shape == (B, env.act_dim)
+    # with the default (wrong) encoder the checkpoint would not even restore:
+    with pytest.raises(Exception):
+        wrong = RoachCNNActorCritic(act_dim=env.act_dim, image_encoder="roach")
+        template = wrong.init_params(
+            jax.random.PRNGKey(0), env.obs_shape, env.n_measurements, env.n_value_measurements
+        )
+        restored = ckpt.restore_state(
+            ckpt.resolve_checkpoint(str(tmp_path))[0], {"params": template}
+        )
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(a.shape, b.shape),
+                     restored["params"], template)

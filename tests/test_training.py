@@ -6,6 +6,9 @@ import numpy as np
 import pytest
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_ppo_trains_and_checkpoints(tmp_path):
     from ppo_tpu.config import PPOConfig
     from ppo_tpu.train_ppo import train
