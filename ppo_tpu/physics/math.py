@@ -133,6 +133,15 @@ def spd_solve(M, b, iters=None):
     Default 2n iterations: exact-arithmetic CG terminates at n, but floating-
     point rounding delays termination on the worse-conditioned mass matrices
     (measured: humanoid cond(M)~3e3, n iters -> 5e1 abs error, 2n -> 3e-12).
+
+    Accuracy envelope (tests/test_spd_solve.py): on REAL contact Hessians
+    H = M + J'diag(d)J harvested from Ant/Humanoid states, rel error < 1e-8
+    (f64) / < 1e-3 (f32); Jacobi preconditioning absorbs stiff-row scale (d up
+    to 1e5-1e6). Known limit: adversarial dense systems with cond >= 1e6 do
+    NOT converge in 2n f32 iterations — if such Hessians ever arise, the
+    Newton solver's exact line search with its cost-decrease safeguard
+    (solver.py) degrades convergence instead of correctness, and the
+    trajectory parity suites bound the end-to-end effect.
     """
     import jax
 
