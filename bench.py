@@ -131,11 +131,17 @@ def _full(num_envs=4096, steps=50, solver_iterations=4, warmup=2, reps=3):
     return num_envs * steps / statistics.median(times)
 
 
-def _full_subprocess(timeout):
-    """Full loop in a subprocess so a pathological compile cannot hang us."""
+def _stage_subprocess(flag, timeout):
+    """Run a measurement stage in a subprocess with a hard timeout.
+
+    BOTH stages run out-of-process: the tunneled runtime has a failure mode
+    after long idle where device calls block indefinitely (even an 8-element
+    reduction — observed 2026-08-20), so an in-process stage could hang the
+    whole bench and leave the driver with no number at all.
+    """
     try:
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--full-only"],
+            [sys.executable, os.path.abspath(__file__), flag],
             capture_output=True, text=True, timeout=timeout,
         )
         for line in out.stdout.strip().splitlines()[::-1]:
@@ -148,12 +154,37 @@ def _full_subprocess(timeout):
     return 0.0
 
 
-def bench(full_timeout=900):
-    """Best of the two validated stages (see module docstring)."""
-    return max(_quick(), _full_subprocess(full_timeout))
+# Far below the engine's measured fast-mode speed (636k env-steps/s,
+# docs/PERF.md) but far above the runtime's documented degraded mode
+# (~1000x slow): a result under this threshold means the RUNTIME was sick,
+# not the engine, so it is worth letting the device idle and re-measuring.
+DEGRADED_SPS = 100_000
+
+
+def bench(quick_timeout=600, full_timeout=900, idle_retries=2, idle_s=240):
+    """Best valid measurement across stages, with bounded retry-after-idle.
+
+    The tunneled TPU runtime has two sick modes (docs/PERF.md): a degraded
+    mode that slows in-program execution ~1000x, and a post-idle mode where
+    device calls hang outright. Both are device-side and recover after the
+    device sits idle, so on a bad measurement we sleep and retry in fresh
+    subprocesses, a bounded number of times. Every retained number still
+    passes the execution-validity checks in _quick/_full.
+    """
+    best = 0.0
+    for attempt in range(idle_retries + 1):
+        best = max(best, _stage_subprocess("--quick-only", quick_timeout))
+        best = max(best, _stage_subprocess("--full-only", full_timeout))
+        if best >= DEGRADED_SPS or attempt == idle_retries:
+            break
+        time.sleep(idle_s)
+    return best
 
 
 if __name__ == "__main__":
+    if "--quick-only" in sys.argv:
+        print(_quick())
+        sys.exit(0)
     if "--full-only" in sys.argv:
         print(_full())
         sys.exit(0)
