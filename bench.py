@@ -21,9 +21,11 @@ afterwards so the reported number corresponds to real executed physics.
 Two stages: a quick single-vector-step measurement that always produces a
 number, then the full 50-step scan loop in a subprocess with a hard timeout
 (amortizes the ~26 ms per-call RTT of the tunneled runtime over 50 steps).
-The larger valid measurement wins. See docs/PERF.md "Single-chip throughput"
-for the honest numbers, the profiler breakdown, and the correction of an
-earlier physically-impossible measurement.
+The larger valid measurement wins. Total wall time is capped (see
+bench(deadline_s=...): ~few minutes healthy, <=~45 min worst case with a sick
+runtime). See docs/PERF.md "Single-chip throughput" for the honest numbers,
+the profiler breakdown, and the correction of an earlier physically-impossible
+measurement.
 """
 
 import json
@@ -161,7 +163,8 @@ def _stage_subprocess(flag, timeout):
 DEGRADED_SPS = 100_000
 
 
-def bench(quick_timeout=600, full_timeout=900, idle_retries=2, idle_s=240):
+def bench(quick_timeout=600, full_timeout=900, idle_retries=2, idle_s=240,
+          deadline_s=1800):
     """Best valid measurement across stages, with bounded retry-after-idle.
 
     The tunneled TPU runtime has two sick modes (docs/PERF.md): a degraded
@@ -170,12 +173,27 @@ def bench(quick_timeout=600, full_timeout=900, idle_retries=2, idle_s=240):
     device sits idle, so on a bad measurement we sleep and retry in fresh
     subprocesses, a bounded number of times. Every retained number still
     passes the execution-validity checks in _quick/_full.
+
+    Total wall time is capped by `deadline_s` (default 30 min): no new stage
+    or idle sleep starts past the deadline, so an external driver gets its
+    best-so-far number (possibly 0.0 in the fully-sick-runtime case) within
+    deadline_s + the in-flight stage's own timeout — worst case ~45 min,
+    healthy-runtime case a few minutes.
     """
     best = 0.0
+    t_start = time.monotonic()
+    remaining = lambda: deadline_s - (time.monotonic() - t_start)
     for attempt in range(idle_retries + 1):
-        best = max(best, _stage_subprocess("--quick-only", quick_timeout))
-        best = max(best, _stage_subprocess("--full-only", full_timeout))
+        if remaining() <= 0:
+            break
+        best = max(best, _stage_subprocess("--quick-only",
+                                           min(quick_timeout, max(remaining(), 60))))
+        if remaining() > 0:
+            best = max(best, _stage_subprocess("--full-only",
+                                               min(full_timeout, max(remaining(), 60))))
         if best >= DEGRADED_SPS or attempt == idle_retries:
+            break
+        if remaining() <= idle_s:
             break
         time.sleep(idle_s)
     return best
