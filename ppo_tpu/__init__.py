@@ -16,3 +16,24 @@ A from-scratch JAX/XLA re-design of the capabilities of autonomousvision/ppo.cpp
 """
 
 __version__ = "0.1.0"
+
+
+def force_platform_from_env():
+    """Honor JAX_PLATFORMS at CLI entry points even when the device plugin
+    clobbers it: this runtime's TPU plugin rewrites jax_platforms to
+    'axon,cpu' at interpreter start (sitecustomize register()), so
+    `JAX_PLATFORMS=cpu python -m ppo_tpu.train_ppo ...` would silently run
+    on the TPU. jax.config.update after import is the override that wins.
+    The plugin's own value ('axon', also the ambient env default) is left
+    alone so in-process callers (tests forcing CPU via conftest) are not
+    fought. Called by every trainer/server main(), not at import time."""
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want and want != "axon":
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", want)
+        except Exception:  # backend already initialized: leave it be
+            pass

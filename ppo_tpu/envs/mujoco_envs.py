@@ -62,7 +62,7 @@ class MujocoEnv:
     needs_cfrc: bool = False
 
     def __init__(self, dtype=jnp.float32, solver_iterations: int | None = None,
-                 solver_type: str = "newton", batch_impl: str = "lanes"):
+                 solver_type: str = "newton", batch_impl: str = "auto"):
         self.dtype = dtype
         self.batch_impl = batch_impl
         self.model: Model = smooth.set_const(load_model(gym_asset_path(self.xml)))
@@ -208,23 +208,44 @@ class MujocoEnv:
         """Lockstep step of a batched EnvState [B, ...] — semantically
         identical to `vmap(step)` but with the physics substeps running in
         lane-major layout (physics/lanes.py), the bandwidth-optimal layout on
-        TPU. Envs needing last-substep observables (cfrc_ext, cinert, cvel)
-        run the final substep on the reference path so the staleness-parity
-        reads are untouched; the remaining substeps use the lane path."""
-        from ppo_tpu.physics import lanes
+        TPU — and, where the model fits the VMEM block budget, inside the
+        whole-substep Pallas mega-kernel (physics/mega.py). Envs needing
+        last-substep observables (cfrc_ext, cinert, cvel) run the final
+        substep on the reference path so the staleness-parity reads are
+        untouched; the remaining substeps use the lane/mega path."""
+        from ppo_tpu.physics import lanes, mega
 
-        if self.batch_impl != "lanes" or not self.lanes_eligible:
+        if self.batch_impl not in ("auto", "lanes", "mega") or not self.lanes_eligible:
             return jax.vmap(self.step, in_axes=(0, 0, None))(state, action, consts)
         m, ctx = self._inject(consts)
+        B = state.qpos.shape[0]
+        use_mega = (
+            self.batch_impl in ("auto", "mega")
+            and (self.dtype == jnp.float32  # Mosaic has no f64...
+                 or mega.FORCE_INTERPRET[0])  # ...but interpret mode does
+            and mega.supported(self.model, self.ctx, self.solver_type, B)
+            and (jax.default_backend() != "cpu" or mega.FORCE_INTERPRET[0])
+        )
+        if use_mega:
+            def substep_fn(qp, qv, ct_, ws_, n):
+                return mega.substeps_batched(
+                    self.model, self.ctx, qp, qv, ct_, ws_,
+                    self.iterations, n, consts=consts,
+                )
+        else:
+            def substep_fn(qp, qv, ct_, ws_, n):
+                return lanes.substeps_batched(
+                    m, ctx, qp, qv, ct_, ws_, self.iterations, n
+                )
         ctrl = jnp.clip(
             action.astype(self.dtype),
             jnp.asarray(m.actuator_ctrlrange[:, 0], self.dtype),
             jnp.asarray(m.actuator_ctrlrange[:, 1], self.dtype),
         )
         if self.needs_cfrc:
-            qpos, qvel, ws = lanes.substeps_batched(
-                m, ctx, state.qpos, state.qvel, ctrl, state.qacc_warmstart,
-                self.iterations, self.frame_skip - 1,
+            qpos, qvel, ws = substep_fn(
+                state.qpos, state.qvel, ctrl, state.qacc_warmstart,
+                self.frame_skip - 1,
             )
 
             def final(qp, qv, ct, w):
@@ -244,9 +265,8 @@ class MujocoEnv:
                 self._post_step, in_axes=(None, 0, 0, 0, 0, 0, 0)
             )(m, state, qpos, qvel, ctrl, extras, qacc_next)
 
-        qpos, qvel, qacc_next = lanes.substeps_batched(
-            m, ctx, state.qpos, state.qvel, ctrl, state.qacc_warmstart,
-            self.iterations, self.frame_skip,
+        qpos, qvel, qacc_next = substep_fn(
+            state.qpos, state.qvel, ctrl, state.qacc_warmstart, self.frame_skip,
         )
         return jax.vmap(
             self._post_step, in_axes=(None, 0, 0, 0, 0, None, 0)

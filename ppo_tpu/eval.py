@@ -24,6 +24,9 @@ import numpy as np
 
 
 def main(argv=None):
+    from ppo_tpu import force_platform_from_env
+
+    force_platform_from_env()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--checkpoint", required=True,
                     help="run folder or state_*.msgpack file (config.json beside it)")

@@ -62,6 +62,11 @@ def extract(m, ctx, dtype=jnp.float32) -> dict:
 
     for name, v in make_kind_masks(ctx.slots.kind).items():
         c[f"s.{name}"] = jnp.asarray(v)
+    # CRB upper-triangle ancestor mask as float: the mega kernel
+    # (physics/mega.py) takes it as an operand instead of a trace-time literal
+    c["k.anc_triu"] = jnp.asarray(
+        np.triu(np.asarray(ctx.mask)[np.asarray(m.dof_bodyid)].T), dtype
+    )
     return c
 
 

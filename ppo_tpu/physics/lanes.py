@@ -38,7 +38,23 @@ from ppo_tpu.physics import collision, solver
 from ppo_tpu.physics.constraint import MAXIMP, MINIMP
 from ppo_tpu.physics.consts import eye3
 from ppo_tpu.physics.model import Model
-from ppo_tpu.physics.types import EULER, FREE, HINGE, SLIDE
+from ppo_tpu.physics.types import EULER, FREE, HINGE, KERNEL_MODE, SLIDE
+
+
+# Extra constants delivered as Pallas-kernel operands (populated by
+# physics/mega.py for the duration of kernel tracing): Mosaic should not see
+# arbitrary array literals, so trace-time numpy masks are swapped for loaded
+# refs here. Maps name -> in-kernel array.
+KERNEL_CONSTS: dict = {}
+
+
+def _take0(arr, idx):
+    """Gather rows along axis 0. Inside a Pallas kernel (KERNEL_MODE) the
+    indices are static numpy and the gather is unrolled into stacked slices
+    (Mosaic has no general gather); outside, plain advanced indexing."""
+    if KERNEL_MODE[0]:
+        return jnp.stack([arr[int(i)] for i in np.asarray(idx)], 0)
+    return arr[idx]
 
 
 # ---------------------------------------------------------------------------
@@ -366,7 +382,10 @@ def crb_mass_matrix_l(m: Model, com: ComL) -> jnp.ndarray:
     # upper triangle so same-body dof pairs (free joints) are counted once
     anc = np.triu(mask[np.asarray(m.dof_bodyid)].T)      # [nv(v), nv(w)]
     U = jnp.sum(com.cdof[:, None, :, :] * F[None, :, :, :], 2)   # [v, w, B]
-    U = U * jnp.asarray(anc[:, :, None], dtype)
+    if KERNEL_MODE[0]:
+        U = U * KERNEL_CONSTS["anc_triu"][:, :, None]
+    else:
+        U = U * jnp.asarray(anc[:, :, None], dtype)
     r = jax.lax.broadcasted_iota(jnp.int32, (m.nv, m.nv), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (m.nv, m.nv), 1)
     eyev = (r == c).astype(dtype)[:, :, None]
@@ -438,29 +457,39 @@ def rne_bias_l(m: Model, com: ComL, vel: VelL, qvel) -> jnp.ndarray:
 
 def passive_forces_l(m: Model, qpos, qvel) -> jnp.ndarray:
     dtype = qvel.dtype
-    qfrc = -jnp.asarray(m.dof_damping, dtype)[:, None] * qvel
+    damping = jnp.asarray(m.dof_damping, dtype)
+    base = -damping[:, None] * qvel
+    # spring terms per affected dof row: accumulated in a Python dict and
+    # merged row-wise (no scatter: Mosaic-safe, and identical math)
+    adds: dict[int, jnp.ndarray] = {}
+
+    def _add(d, expr):
+        adds[d] = adds[d] + expr if d in adds else expr
+
+    spring = jnp.asarray(m.qpos_spring, dtype)
     for j in range(m.njnt):
         if m.jnt_stiffness[j] == 0.0:
             continue
         jtype = m.jnt_type[j]
         qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
         k = float(m.jnt_stiffness[j])
-        spring = jnp.asarray(m.qpos_spring, dtype)
         if jtype in (SLIDE, HINGE):
-            qfrc = qfrc.at[dadr].add(-k * (qpos[qadr] - spring[qadr]))
+            _add(dadr, -k * (qpos[qadr] - spring[qadr]))
         else:
-            qfrc = qfrc.at[dadr : dadr + 3].add(
-                -k * (qpos[qadr : qadr + 3] - spring[qadr : qadr + 3][:, None])
-            )
-    return qfrc
+            for i in range(3):
+                _add(dadr + i, -k * (qpos[qadr + i] - spring[qadr + i]))
+    if not adds:
+        return base
+    rows = [base[v] + adds[v] if v in adds else base[v] for v in range(m.nv)]
+    return jnp.stack(rows)
 
 
 def actuator_forces_l(m: Model, ctrl) -> jnp.ndarray:
     """Motor transmission [nv, B] (smooth.actuator_forces port)."""
     dtype = ctrl.dtype
     B = ctrl.shape[-1]
-    qfrc = jnp.zeros((m.nv, B), dtype)
     ctrlrange = jnp.asarray(m.actuator_ctrlrange, dtype)
+    adds: dict[int, jnp.ndarray] = {}
     for u in range(m.nu):
         c = ctrl[u]
         if m.actuator_ctrllimited[u]:
@@ -468,8 +497,10 @@ def actuator_forces_l(m: Model, ctrl) -> jnp.ndarray:
         j = m.actuator_trnid[u]
         gear = float(np.asarray(m.actuator_gear)[u]) if isinstance(m.actuator_gear, np.ndarray) \
             else m.actuator_gear[u]
-        qfrc = qfrc.at[m.jnt_dofadr[j]].add(gear * c)
-    return qfrc
+        d = int(m.jnt_dofadr[j])
+        adds[d] = adds[d] + gear * c if d in adds else gear * c
+    zero = jnp.zeros((B,), dtype)
+    return jnp.stack([adds.get(v, zero) for v in range(m.nv)])
 
 
 def spd_solve_l(M, b, iters=None):
@@ -564,10 +595,10 @@ def collide_l(m: Model, geom_xpos, geom_xmat, slots, kind_masks) -> ContactsL:
             dist=jnp.zeros((0, B), dtype), pos=jnp.zeros((0, 3, B), dtype),
             frame=jnp.zeros((0, 3, 3, B), dtype), active=jnp.zeros((0, B), bool),
         )
-    p1 = geom_xpos[slots.geom1]   # [S, 3, B]
-    p2 = geom_xpos[slots.geom2]
-    R1 = geom_xmat[slots.geom1]   # [S, 3, 3, B]
-    R2 = geom_xmat[slots.geom2]
+    p1 = _take0(geom_xpos, slots.geom1)   # [S, 3, B]
+    p2 = _take0(geom_xpos, slots.geom2)
+    R1 = _take0(geom_xmat, slots.geom1)   # [S, 3, 3, B]
+    R2 = _take0(geom_xmat, slots.geom2)
     size1 = jnp.asarray(slots.size1, dtype)
     size2 = jnp.asarray(slots.size2, dtype)
     r1 = size1[:, 0:1]            # [S, 1] -> broadcasts over B
@@ -672,8 +703,8 @@ def make_efc_l(m: Model, meta, com: ComL, qpos, qvel, con: ContactsL) -> EfcL:
     parts_J, parts_R, parts_aref = [], [], []
 
     if L:
-        q = qpos[meta.lim_qadr]                           # [L, B] (gather)
-        v = qvel[meta.lim_dadr]
+        q = _take0(qpos, meta.lim_qadr)                   # [L, B] (gather)
+        v = _take0(qvel, meta.lim_dadr)
         lo = jnp.asarray(meta.lim_lo, dtype)[:, None]
         hi = jnp.asarray(meta.lim_hi, dtype)[:, None]
         dist_lo = q - lo
@@ -701,7 +732,7 @@ def make_efc_l(m: Model, meta, com: ComL, qpos, qvel, con: ContactsL) -> EfcL:
         dof_root = np.maximum(
             np.asarray(m.body_rootid)[np.asarray(m.dof_bodyid)], 0
         )
-        origins = com.subtree_com[dof_root]               # [nv, 3, B]
+        origins = _take0(com.subtree_com, dof_root)       # [nv, 3, B]
         # translational point jacobian per slot: [S, nv, 3, B]
         cd_ang = com.cdof[:, :3]                          # [nv, 3, B]
         cd_lin = com.cdof[:, 3:]
@@ -801,16 +832,18 @@ def forward_l(m: Model, ctx, qpos, qvel, ctrl, iterations, warmstart=None) -> Fo
 
 
 def integrate_pos_l(m: Model, qpos, qvel, dt):
-    out = qpos
+    rows = [qpos[i] for i in range(m.nq)]
     for j in range(m.njnt):
         qadr, dadr = m.jnt_qposadr[j], m.jnt_dofadr[j]
         if m.jnt_type[j] == FREE:
-            out = out.at[qadr : qadr + 3].add(dt * qvel[dadr : dadr + 3])
+            for i in range(3):
+                rows[qadr + i] = qpos[qadr + i] + dt * qvel[dadr + i]
             q = lquat_integrate(qpos[qadr + 3 : qadr + 7], qvel[dadr + 3 : dadr + 6], dt)
-            out = out.at[qadr + 3 : qadr + 7].set(q)
+            for i in range(4):
+                rows[qadr + 3 + i] = q[i]
         else:
-            out = out.at[qadr].add(dt * qvel[dadr])
-    return out
+            rows[qadr] = qpos[qadr] + dt * qvel[dadr]
+    return jnp.stack(rows)
 
 
 def _euler_l(m, ctx, qpos, qvel, ctrl, iterations, warmstart):

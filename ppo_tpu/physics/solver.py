@@ -285,10 +285,14 @@ def solve_newton_lanes(Mt, Jt, Dt, at, qst, x0t, iterations, ls_iterations=8):
     VMEM-resident kernel when the block budget allows, else run the plain-JAX
     lane implementation (same math). Used by physics.lanes.forward_l, which
     keeps the whole substep in lane layout so no transpose is needed here."""
+    from ppo_tpu.physics.types import KERNEL_MODE
+
     ne, nv = Jt.shape[0], Jt.shape[1]
     B = qst.shape[-1]
     use_pallas = (
-        jax.default_backend() != "cpu"
+        not KERNEL_MODE[0]  # already inside a Pallas kernel: no nesting
+        and jax.default_backend() != "cpu"
+        and qst.dtype == jnp.float32  # Mosaic has no f64
         and ne > 0
         and B % 128 == 0
         and _pick_block(ne, nv, B) is not None
@@ -310,6 +314,7 @@ def solve_newton_batched(M, J, D, aref, qs, x0=None, iterations=10,
     if use_pallas is None:
         use_pallas = (
             jax.default_backend() != "cpu"
+            and qs.dtype == jnp.float32  # Mosaic has no f64
             and ne > 0
             and _pick_block(ne, J.shape[2], max(B, 128)) is not None
         )

@@ -11,3 +11,10 @@ EULER, RK4 = 0, 1
 
 # solver
 PGS, CG, NEWTON = 0, 1, 2
+
+# Trace-time flag: true while tracing inside a Pallas kernel body (see
+# physics/mega.py). Lane-major code consults it to emit Mosaic-friendly
+# forms (unrolled static gathers / list-built scatters instead of
+# gather/scatter HLOs) and to keep nested pallas_calls out of the kernel.
+# A plain mutable cell (not a contextvar): kernel tracing is synchronous.
+KERNEL_MODE = [False]

@@ -161,6 +161,9 @@ def serve(folder: str, address, once: bool = False, conf_file: str = ""):
 
 
 def main(argv=None):
+    from ppo_tpu import force_platform_from_env
+
+    force_platform_from_env()
     p = argparse.ArgumentParser()
     p.add_argument("--path_to_conf_file", type=str, default="")
     p.add_argument("--folder", type=str, required=True)

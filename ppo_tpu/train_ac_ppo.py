@@ -239,6 +239,9 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
 
 
 def main(argv=None):
+    from ppo_tpu import force_platform_from_env
+
+    force_platform_from_env()
     cfg = parse_config(argv, cls=ACPPOConfig)
     train(cfg)
 

@@ -440,6 +440,9 @@ def _train_external(cfg, folder, writer, env, model, optimizer,
 
 
 def main(argv=None):
+    from ppo_tpu import force_platform_from_env
+
+    force_platform_from_env()
     train(parse_config(argv, cls=CNNConfig))
 
 

@@ -222,6 +222,9 @@ def render_eval_gif(cfg, env, venv, model, rs, out_path, steps=300, verbose=True
 
 
 def main(argv=None):
+    from ppo_tpu import force_platform_from_env
+
+    force_platform_from_env()
     cfg = parse_config(argv)
     train(cfg)
 
