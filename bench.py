@@ -156,10 +156,12 @@ def _stage_subprocess(flag, timeout):
     return 0.0
 
 
-# Far below the engine's measured fast-mode speed (636k env-steps/s,
-# docs/PERF.md) but far above the runtime's documented degraded mode
-# (~1000x slow): a result under this threshold means the RUNTIME was sick,
-# not the engine, so it is worth letting the device idle and re-measuring.
+# Below BOTH healthy stages (quick is RTT-bound at ~130k steps/s — one ~26 ms
+# call round-trip per vectorized step; full amortizes the RTT over a 50-step
+# scan and reaches ~1.1M, docs/PERF.md) but far above the runtime's documented
+# degraded mode (~1000x slow): a result under this threshold means the RUNTIME
+# was sick, not the engine, so it is worth letting the device idle and
+# re-measuring.
 DEGRADED_SPS = 100_000
 
 

@@ -219,8 +219,12 @@ class MujocoEnv:
             return jax.vmap(self.step, in_axes=(0, 0, None))(state, action, consts)
         m, ctx = self._inject(consts)
         B = state.qpos.shape[0]
+        # "auto" = lane-major XLA with the tile-2D batch layout (fastest
+        # measured: 1.15M env-steps/s vs 590k for the whole-substep Pallas
+        # kernel at 4096 envs — XLA's fusions win once tiles are full);
+        # "mega" opts into the VMEM-resident Pallas kernel (physics/mega.py)
         use_mega = (
-            self.batch_impl in ("auto", "mega")
+            self.batch_impl == "mega"
             and (self.dtype == jnp.float32  # Mosaic has no f64...
                  or mega.FORCE_INTERPRET[0])  # ...but interpret mode does
             and mega.supported(self.model, self.ctx, self.solver_type, B)

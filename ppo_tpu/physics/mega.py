@@ -1,10 +1,15 @@
-"""Whole-substep Pallas mega-kernel: VMEM-resident physics.
+"""Whole-substep Pallas mega-kernel: VMEM-resident physics (opt-in).
 
-The lane-major substep (physics/lanes.py) is bandwidth-bound in plain XLA:
-every reduction is a fusion boundary, so each of the ~hundreds of [*, B]
-intermediates makes an HBM round trip — ~1 GB of traffic per 4096-env substep
-against a ~3 MB true state size (measured: 1.28 ms/substep at B=4096 on a
-v5e-class chip, >100x its compute roofline).
+STATUS (measured, round 3): this kernel compiles, matches the XLA path
+bit-for-bit-close (tests/test_mega.py), and sustains ~590k env-steps/s at
+4096 HalfCheetah envs — on par with the flat-batch XLA lane path but 2x
+SLOWER than the tile-2D XLA layout (1.14M, docs/PERF.md round 3). Once tiles
+are full, XLA's fusion scheduling beats Mosaic straight-line code for this
+op mix (thousands of tiny vector ops), and intermediate HBM traffic turns
+out not to be the binding constraint. Kept as `batch_impl="mega"` opt-in:
+it is the reference implementation for VMEM-resident physics and documents
+the Mosaic portability rules (gathers, scatters, relayouts) that any future
+kernel work on this pipeline must follow.
 
 This module runs the ENTIRE substep pipeline (kinematics -> com -> CRB -> RNE
 -> passive/actuation -> qacc_smooth -> collision -> constraint rows -> Newton
@@ -97,6 +102,8 @@ def supported(m: Model, ctx, solver_type: str, B: int | None = None) -> bool:
     the VMEM block budget (everything but Humanoid among the four models)."""
     if not lanes.lanes_supported(m, ctx, solver_type):
         return False
+    if ctx.meta.needs_jacr:  # condim>3 rows use the 4D formulation
+        return False
     return pick_block(m, ctx, B or 128) is not None
 
 
@@ -109,7 +116,11 @@ def operand_keys(ctx) -> list[str]:
     keys = [f"m.{f}" for f in pconsts.MODEL_FIELDS] + ["m.gravity"]
     keys += [f"s.{f}" for f in _SLOT_FLOAT_FIELDS]
     keys += [f"e.{f}" for f in pconsts.META_FIELDS]
-    keys += [f"k.{name}" for name in KIND_MASK_NAMES]
+    # kind masks PRE-SHAPED per use rank (see lanes._kind_sel): (S,1),
+    # (S,1,1) as "<name>3", (S,1,1,1) as "<name>4" — in-kernel expansions of
+    # (S,) fuse into Mosaic-unsupported relayouts, host reshapes are free
+    for name in KIND_MASK_NAMES:
+        keys += [f"k.{name}", f"k.{name}3", f"k.{name}4"]
     keys += ["k.anc_triu"]
     return keys
 
@@ -131,7 +142,10 @@ def host_operands(m: Model, ctx, consts: dict | None, dtype) -> dict:
     masks = make_kind_masks(np.asarray(ctx.slots.kind))
     for name in KIND_MASK_NAMES:
         src = consts[f"s.{name}"] if consts else jnp.asarray(masks[name])
-        out[f"k.{name}"] = src.astype(dtype)  # float 0/1: bool VMEM tiles avoided
+        mf = src.astype(dtype)  # float 0/1: i1 VMEM tiles/broadcasts avoided
+        out[f"k.{name}"] = mf[:, None]
+        out[f"k.{name}3"] = mf[:, None, None]
+        out[f"k.{name}4"] = mf[:, None, None, None]
     from ppo_tpu.physics import smooth
 
     mask = smooth.ancestor_mask(m)
@@ -159,7 +173,12 @@ def _inject_kernel(m: Model, ctx, loaded: dict):
         **{f: loaded[f"s.{f}"] for f in _SLOT_FLOAT_FIELDS}
     )
     meta2 = ctx.meta._replace(**{f: loaded[f"e.{f}"] for f in pconsts.META_FIELDS})
-    kind_masks = {name: loaded[f"k.{name}"] > 0.5 for name in KIND_MASK_NAMES}
+    # masks stay f32, pre-shaped per rank: lanes._kind_sel uses them in
+    # arithmetic selects (Mosaic cannot insert minor dims on i1 vectors)
+    kind_masks = {}
+    for name in KIND_MASK_NAMES:
+        for suf in ("", "3", "4"):
+            kind_masks[name + suf] = loaded[f"k.{name}{suf}"]
     return m2, ctx._replace(slots=slots2, meta=meta2, kind_masks=kind_masks)
 
 

@@ -144,21 +144,24 @@ def _newton_lanes(Mt, Jt, Dt, at, qst, x0t, iterations, ls_iterations,
     cg_iters = cg_iterations or nv
 
     # matvecs as broadcast-multiply-reduce (no dot_general: Mosaic-safe and
-    # every temp stays a [.., B] lane-major tile)
+    # every temp stays a [.., *B] lane-major tile; batch may be flat [.., B]
+    # or tile-2D [.., B//128, 128] — all ops below are batch-rank-agnostic)
+    nb = Mt.ndim - 2
+
     def matvec_M(x):
-        return jnp.sum(Mt * x[None, :, :], 1)
+        return jnp.sum(Mt * x[None], 1)
 
     def matvec_J(x):
-        return jnp.sum(Jt * x[None, :, :], 1)
+        return jnp.sum(Jt * x[None], 1)
 
     def matvec_JT(e):
-        return jnp.sum(Jt * e[:, None, :], 0)
+        return jnp.sum(Jt * e[:, None], 0)
 
     # diag(M) without array-literal identity: iota comparison mask
     r_ = jax.lax.broadcasted_iota(jnp.int32, (nv, nv), 0)
     c_ = jax.lax.broadcasted_iota(jnp.int32, (nv, nv), 1)
     eye = (r_ == c_).astype(Mt.dtype)
-    diagM = jnp.sum(Mt * eye[:, :, None], 1)            # [nv, B]
+    diagM = jnp.sum(Mt * eye[(Ellipsis,) + (None,) * nb], 1)   # [nv, *B]
 
     xs = qst
 
@@ -179,7 +182,7 @@ def _newton_lanes(Mt, Jt, Dt, at, qst, x0t, iterations, ls_iterations,
             return matvec_M(p) + matvec_JT(d * matvec_J(p))
 
         # Jacobi-preconditioned CG for H dx = -g
-        Pinv = 1.0 / (diagM + jnp.sum(d[:, None, :] * Jt * Jt, 0))
+        Pinv = 1.0 / (diagM + jnp.sum(d[:, None] * Jt * Jt, 0))
         r = -g
         z = Pinv * r
         p = z
@@ -205,7 +208,7 @@ def _newton_lanes(Mt, Jt, Dt, at, qst, x0t, iterations, ls_iterations,
         g0 = jnp.sum(dx * matvec_M(x - xs), 0)
         dj = matvec_J(dx)
 
-        a = jnp.ones(x.shape[-1:], x.dtype)
+        a = jnp.ones(x.shape[1:], x.dtype)
         for _ls in range(ls_iterations):
             rr = jar + a * dj
             act = rr < 0
@@ -293,6 +296,7 @@ def solve_newton_lanes(Mt, Jt, Dt, at, qst, x0t, iterations, ls_iterations=8):
         not KERNEL_MODE[0]  # already inside a Pallas kernel: no nesting
         and jax.default_backend() != "cpu"
         and qst.dtype == jnp.float32  # Mosaic has no f64
+        and Jt.ndim == 3  # flat batch only (tile-2D batch runs the XLA path)
         and ne > 0
         and B % 128 == 0
         and _pick_block(ne, nv, B) is not None

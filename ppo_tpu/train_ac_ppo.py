@@ -38,7 +38,15 @@ class ACPPOConfig(PPOConfig):
     ent_coef: float = 0.01
     num_eval_runs: int = 128            # ac_ppo_continuous_action.cpp:76
     agent: str = "beta"
-    pipelined: bool = True
+    # Overlapped rollout/update is opt-in: it hides the whole update behind
+    # collection (measured 0.172 s/iter vs 0.220 s serial, HalfCheetah 64x64
+    # on the chip — runs_curves/ac_overlap_*.log) but trains each rollout
+    # with a one-iteration-stale policy, which is NOT what the reference does
+    # (its async is per-env WITHIN collection, ac_ppo...cpp:641-698; the
+    # iteration boundary is a full barrier at :706). The same-seed A/B showed
+    # a real learning cost (262k-step HalfCheetah eval: 359.6 serial vs 7.2
+    # pipelined), so the reference-faithful serial order is the default.
+    pipelined: bool = False
     estimate_mean_std: bool = False
 
 
