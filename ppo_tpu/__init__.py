@@ -37,3 +37,24 @@ def force_platform_from_env():
             jax.config.update("jax_platforms", want)
         except Exception:  # backend already initialized: leave it be
             pass
+
+
+def select_platform(device: str, num_envs: int) -> None:
+    """Apply the reference's device guidance (README.md:83-84,
+    src/ppo_continuous_action.cpp:291-295): tiny-batch MuJoCo configs run on
+    host CPU, large lockstep batches on the accelerator. Only ever DOWNGRADES
+    to CPU — it never forces the accelerator, so an explicit JAX_PLATFORMS=cpu
+    (verification runs) or a test-conftest CPU force is always respected."""
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "") not in ("", "axon"):
+        return  # explicit user platform choice wins
+    go_cpu = device == "cpu" or (device == "auto" and num_envs < 4)
+    if not go_cpu:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:  # backend already initialized: leave it be
+        pass

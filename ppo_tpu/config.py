@@ -43,6 +43,13 @@ class PPOConfig:
     # software renderer (the headless stand-in for the reference's GLFW window,
     # mujoco_env.h:49-79); "rgb_array" disables visualization like the reference
     render: str = "rgb_array"
+    # Device guidance (reference README.md:83-84; ppo_continuous_action runs
+    # CPU by default, src/ppo_continuous_action.cpp:291-295): tiny MuJoCo
+    # configs (the 1x2048 CleanRL default) are op-latency-bound on an
+    # accelerator and run faster on host CPU; big lockstep batches belong on
+    # the TPU. "auto" picks CPU when num_envs < 4, else the accelerator.
+    # "cpu" forces host execution. "tpu" keeps the platform default.
+    device: str = "auto"                    # auto | cpu | tpu
     # infra
     exp_folder: str = "runs"
     num_eval_runs: int = 10

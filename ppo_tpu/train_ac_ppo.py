@@ -2,8 +2,8 @@
 
 Beta policy with baked observation statistics, Atari-style defaults (lr 2.5e-4,
 8 envs x 128 steps, 4 minibatches, 4 epochs, clip 0.1, ent 0.01 —
-src/ac_ppo_continuous_action.cpp:60-76), pipelined rollout/update (the
-TPU-native replacement for per-env collector threads), per-iteration
+src/ac_ppo_continuous_action.cpp:60-76), optional overlapped rollout/update
+(--pipelined 1; off by default — see ACPPOConfig.pipelined), per-iteration
 checkpoints, rank-style TB logging, --estimate_mean_std pass, and a final
 deterministic ("mean" sample type) eval like ac_ppo...cpp:965-1001.
 """
@@ -51,6 +51,9 @@ class ACPPOConfig(PPOConfig):
 
 
 def train(cfg: ACPPOConfig, verbose: bool = True):
+    from ppo_tpu import select_platform
+
+    select_platform(getattr(cfg, "device", "auto"), cfg.num_envs)
     import jax as _jax
 
     verbose = verbose and _jax.process_index() == 0  # rank-0 prints (ac_ppo...cpp:624)

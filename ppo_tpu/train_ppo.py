@@ -41,6 +41,9 @@ def build_model(cfg: PPOConfig, env):
 
 
 def train(cfg: PPOConfig, verbose: bool = True):
+    from ppo_tpu import select_platform
+
+    select_platform(getattr(cfg, "device", "auto"), cfg.num_envs)
     import jax as _jax
 
     verbose = verbose and _jax.process_index() == 0  # rank-0 prints (ac_ppo...cpp:624)
