@@ -78,5 +78,9 @@ def bench_mesh(n_devices: int, num_envs: int = 512, num_steps: int = 16, reps: i
 if __name__ == "__main__":
     n = len(jax.devices())
     sizes = [s for s in (1, 2, 4, 8) if s <= n] or [1]
+    # real accelerator: large-batch config so the ~26 ms per-call RTT of the
+    # tunneled runtime is amortized (65k env-steps per iteration call);
+    # CPU/virtual-mesh: small functional-demo config
+    kw = {} if jax.default_backend() == "cpu" else {"num_envs": 2048, "num_steps": 32}
     for s in sizes:
-        print(json.dumps(bench_mesh(s)))
+        print(json.dumps(bench_mesh(s, **kw)))
