@@ -37,6 +37,29 @@ def force_platform_from_env():
             jax.config.update("jax_platforms", want)
         except Exception:  # backend already initialized: leave it be
             pass
+        _warn_on_platform_mismatch(want)
+
+
+def _warn_on_platform_mismatch(want: str) -> None:
+    """If a requested platform did not take effect (backend already
+    initialized before the update), say so instead of silently running on the
+    accelerator — the exact pitfall .claude/skills/verify documents for
+    ad-hoc scripts that import jax before calling us."""
+    import jax
+
+    got = jax.default_backend()
+    wanted_first = want.split(",")[0]
+    # the TPU plugin's platform name is 'axon'; accept 'tpu' as an alias
+    aliases = {"tpu": {"tpu", "axon"}}.get(wanted_first, {wanted_first})
+    if got not in aliases:
+        import sys
+
+        print(
+            f"ppo_tpu: JAX_PLATFORMS={want!r} requested but the backend is "
+            f"already {got!r} (jax initialized before the override); the run "
+            "stays on that backend",
+            file=sys.stderr,
+        )
 
 
 def select_platform(device: str, num_envs: int) -> None:
@@ -58,3 +81,7 @@ def select_platform(device: str, num_envs: int) -> None:
         jax.config.update("jax_platforms", "cpu")
     except Exception:  # backend already initialized: leave it be
         pass
+    # only warn when CPU was an explicit request; the auto heuristic staying
+    # on an already-initialized accelerator is acceptable
+    if device == "cpu":
+        _warn_on_platform_mismatch("cpu")

@@ -24,6 +24,7 @@ from typing import Any, NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from flax import struct
 
 from ppo_tpu.config import PPOConfig
@@ -107,8 +108,6 @@ def make_update_fn(cfg: PPOConfig, model, optimizer, axis_name=None):
             grads, stats = jax.grad(loss_fn, has_aux=True)(params)
             if axis_name is not None:
                 grads = jax.lax.pmean(grads, axis_name)
-            import optax
-
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), stats

@@ -32,7 +32,7 @@ from typing import Any, Callable
 
 import numpy as np
 
-from ppo_tpu.parallel.preempt import TCPStoreClient
+from ppo_tpu.parallel.preempt import TCPStoreClient, should_preempt
 
 
 class HostRollout:
@@ -86,10 +86,8 @@ class HostCollector:
             return False
         cfg = self.cfg
         min_steps = round(cfg.dd_ppo_min_perc * cfg.num_steps)
-        num_done = self.store.get()
-        return (
-            num_done / float(self.num_envs_global) > cfg.dd_ppo_preempt_threshold
-            and step > min_steps
+        return step > min_steps and should_preempt(
+            self.store, self.num_envs_global, cfg.dd_ppo_preempt_threshold
         )
 
     def collect(self, policy_fn: Callable, rollout: HostRollout) -> int:

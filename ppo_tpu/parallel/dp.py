@@ -51,7 +51,7 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 
 def local_config(cfg: PPOConfig, n_devices: int) -> PPOConfig:
-    assert cfg.num_envs % n_devices == 0, "num_envs must divide n_devices"
+    assert cfg.num_envs % n_devices == 0, "n_devices must divide num_envs"
     # the per-device view: local env shard, num_devices=1 (divisibility
     # validation runs against the GLOBAL config; the local copy describes one
     # device's slice and must not re-check global divisibility)

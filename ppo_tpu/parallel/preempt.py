@@ -108,7 +108,9 @@ class TCPStoreClient:
         self._sock.close()
 
 
-def should_preempt(client: TCPStoreClient, num_hosts: int, threshold: float) -> bool:
+def should_preempt(client: TCPStoreClient, num_peers: int, threshold: float) -> bool:
     """ac_ppo_continuous_action.cpp:680-688: preempt when the fraction of
-    finished peers exceeds the threshold."""
-    return client.get() / max(1, num_hosts) > threshold
+    finished peers (collector threads across all ranks, or hosts for the
+    host-level barrier) exceeds the threshold. The min-steps gate is the
+    caller's (algos/host_collect.HostCollector._preempt)."""
+    return client.get() / max(1, num_peers) > threshold

@@ -1055,7 +1055,9 @@ def substeps_batched(m: Model, ctx, qpos, qvel, ctrl, warmstart, iterations,
         return qpos, qvel, warmstart
     B = qpos.shape[0]
     if tile2d is None:
-        tile2d = B % 128 == 0 and B >= 256
+        # the needs_jacr (condim>3) constraint path asserts a flat batch
+        # (make_efc_l), so the tile-2D default must not capture such models
+        tile2d = B % 128 == 0 and B >= 256 and not ctx.meta.needs_jacr
 
     if tile2d:
         def to_l(x):

@@ -139,22 +139,24 @@ def host_operands(m: Model, ctx, consts: dict | None, dtype) -> dict:
     for f in pconsts.META_FIELDS:
         k = f"e.{f}"
         out[k] = consts[k] if consts else jnp.asarray(getattr(ctx.meta, f), dtype)
-    masks = make_kind_masks(np.asarray(ctx.slots.kind))
+    # the host-numpy mask derivations only run when consts don't already
+    # carry them (ADVICE r3: they were recomputed on every trace)
+    masks = None if consts else make_kind_masks(np.asarray(ctx.slots.kind))
     for name in KIND_MASK_NAMES:
         src = consts[f"s.{name}"] if consts else jnp.asarray(masks[name])
         mf = src.astype(dtype)  # float 0/1: i1 VMEM tiles/broadcasts avoided
         out[f"k.{name}"] = mf[:, None]
         out[f"k.{name}3"] = mf[:, None, None]
         out[f"k.{name}4"] = mf[:, None, None, None]
-    from ppo_tpu.physics import smooth
-
-    mask = smooth.ancestor_mask(m)
-    anc = np.triu(mask[np.asarray(m.dof_bodyid)].T).astype(np.float32)
     # anc_triu is a DERIVED static mask, not part of env consts; route it
     # through a device_put outside jit (env __init__) when consts exist.
     if consts is not None and "k.anc_triu" in consts:
         out["k.anc_triu"] = consts["k.anc_triu"]
     else:
+        from ppo_tpu.physics import smooth
+
+        mask = smooth.ancestor_mask(m)
+        anc = np.triu(mask[np.asarray(m.dof_bodyid)].T).astype(np.float32)
         out["k.anc_triu"] = jnp.asarray(anc, dtype)
     return out
 
@@ -207,7 +209,18 @@ def _build_call(m: Model, ctx, keys, op_shapes, iterations, bb, B, dtype,
         loaded = {
             k: r[...].reshape(op_shapes[k]) for k, r in zip(keys, const_refs)
         }
-        KERNEL_MODE[0] = True
+        # enforce the synchronous-tracing assumption behind the mutable
+        # KERNEL_MODE/KERNEL_CONSTS cells (ADVICE r3): a concurrent trace
+        # from another thread would see kernel-mode forms leak into its XLA
+        # program, so fail loudly instead
+        import threading
+
+        assert not KERNEL_MODE[0], (
+            "nested/concurrent Pallas kernel tracing: KERNEL_MODE is already "
+            f"set (owner thread {KERNEL_MODE[1] if len(KERNEL_MODE) > 1 else '?'}, "
+            f"this thread {threading.get_ident()})"
+        )
+        KERNEL_MODE[:] = [True, threading.get_ident()]
         lanes.KERNEL_CONSTS["anc_triu"] = loaded["k.anc_triu"]
         try:
             m2, ctx2 = _inject_kernel(m, ctx, loaded)
@@ -220,7 +233,7 @@ def _build_call(m: Model, ctx, keys, op_shapes, iterations, bb, B, dtype,
                 fwd = lanes.forward_l(m2, ctx2, qp, qv, ct, iterations, ws)
                 out_refs[0][...] = fwd.qacc
         finally:
-            KERNEL_MODE[0] = False
+            KERNEL_MODE[:] = [False]
             lanes.KERNEL_CONSTS.clear()
 
     state_specs = [

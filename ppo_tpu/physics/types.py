@@ -16,5 +16,7 @@ PGS, CG, NEWTON = 0, 1, 2
 # physics/mega.py). Lane-major code consults it to emit Mosaic-friendly
 # forms (unrolled static gathers / list-built scatters instead of
 # gather/scatter HLOs) and to keep nested pallas_calls out of the kernel.
-# A plain mutable cell (not a contextvar): kernel tracing is synchronous.
+# A plain mutable cell (not a contextvar): kernel tracing is synchronous —
+# an assumption physics/mega.py now ENFORCES (asserts the flag is clear
+# before setting it and records the owning thread id as KERNEL_MODE[1]).
 KERNEL_MODE = [False]

@@ -192,7 +192,9 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
         if d.any():
             rets = infos["episode_return"][d]
             lens = infos["episode_length"][d]
-            for r, l in zip(rets[-8:], lens[-8:]):
+            # every finished episode gets a scalar, like the reference
+            # (ac_ppo_continuous_action.cpp:725-748) — no silent down-sampling
+            for r, l in zip(rets, lens):
                 writer.add_scalar("charts/episodic_return", float(r), global_step)
                 writer.add_scalar("charts/episodic_length", float(l), global_step)
             windowed.extend(rets.tolist())
@@ -218,10 +220,19 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
         if cfg.checkpoint_every and iteration % cfg.checkpoint_every == 0:
             ckpt.save_state({"params": params, "opt_state": opt_state}, folder, iteration)
 
-    # drain the pipeline
+    # drain the pipeline — and log the final update's stats instead of
+    # discarding them (the last rollout's losses are as real as any other's)
     if cfg.pipelined and pending is not None:
         key, k_up = jax.random.split(key)
-        params, opt_state, _ = update(params, opt_state, pending, k_up)
+        params, opt_state, stats = update(params, opt_state, pending, k_up)
+        from ppo_tpu.parallel.dp import fetch_host
+
+        s = fetch_host(stats)
+        writer.add_scalar("losses/value_loss", float(s.value_loss), global_step)
+        writer.add_scalar("losses/policy_loss", float(s.policy_loss), global_step)
+        writer.add_scalar("losses/entropy", float(s.entropy), global_step)
+        writer.add_scalar("losses/approx_kl", float(s.approx_kl), global_step)
+        writer.add_scalar("losses/clipfrac", float(s.clipfrac), global_step)
 
     ckpt.save_final({"params": params, "opt_state": opt_state}, folder)
 

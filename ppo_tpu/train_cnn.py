@@ -277,7 +277,8 @@ def train(cfg: CNNConfig, verbose: bool = True):
         if d.any():
             rets = infos["episode_return"][d]
             lens = infos["episode_length"][d]
-            for r, l in zip(rets[-8:], lens[-8:]):
+            # every finished episode, like ac_ppo_carla.cpp's per-episode scalars
+            for r, l in zip(rets, lens):
                 writer.add_scalar("charts/episodic_return", float(r), global_step)
                 writer.add_scalar("charts/episodic_length", float(l), global_step)
             windowed.extend(rets.tolist())
@@ -416,7 +417,7 @@ def _train_external(cfg, folder, writer, env, model, optimizer,
         global_step += cfg.batch_size
 
         rets, lens = collector.drain_stats()
-        for r, l in zip(rets[-8:], lens[-8:]):
+        for r, l in zip(rets, lens):
             writer.add_scalar("charts/episodic_return", float(r), global_step)
             writer.add_scalar("charts/episodic_length", float(l), global_step)
         s = jax.device_get(stats)

@@ -139,7 +139,9 @@ def train(cfg: PPOConfig, verbose: bool = True):
         if done.any():
             rets = out.episode_return[done]
             lens = out.episode_length[done]
-            for r, l in zip(rets[-8:], lens[-8:]):
+            # every finished episode (ppo_continuous_action.cpp:410-433 logs
+            # each info it sees; no silent down-sampling)
+            for r, l in zip(rets, lens):
                 writer.add_scalar("charts/episodic_return", float(r), global_step)
                 writer.add_scalar("charts/episodic_length", float(l), global_step)
             writer.add_scalar(

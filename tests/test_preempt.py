@@ -11,9 +11,9 @@ def test_tcp_store_counter():
     assert c1.increment() == 1
     assert c2.increment() == 2
     assert c2.get() == 2
-    assert not should_preempt(c1, num_hosts=4, threshold=0.6)
+    assert not should_preempt(c1, num_peers=4, threshold=0.6)
     assert c1.increment() == 3
-    assert should_preempt(c1, num_hosts=4, threshold=0.6)
+    assert should_preempt(c1, num_peers=4, threshold=0.6)
     assert c1.reset() == 0
     assert c2.get() == 0
     c1.close(); c2.close(); srv.close()
