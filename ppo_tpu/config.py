@@ -40,9 +40,14 @@ class PPOConfig:
     adam_eps: float = 1e-5                  # Adam epsilon (ppo_continuous_action.cpp:69)
     clip_actions: bool = True               # clip actions to the action space (gym.h:133-139)
     # "human" renders the final-eval trajectory to <run folder>/eval.gif via the
-    # software renderer (the headless stand-in for the reference's GLFW window,
-    # mujoco_env.h:49-79); "rgb_array" disables visualization like the reference
+    # software renderer AND dumps a train_%09d.gif every render_interval
+    # iterations during training (the headless analogue of the reference's
+    # every-step GLFW window, mujoco_env.h:49-79, 110-134); "rgb_array"
+    # disables visualization like the reference
     render: str = "rgb_array"
+    # in-training dump period for render=human; 0 = num_iterations // 10
+    # (about ten snapshots per run), like train_cnn's --visualize_interval
+    render_interval: int = 0
     # Device guidance (reference README.md:83-84; ppo_continuous_action runs
     # CPU by default, src/ppo_continuous_action.cpp:291-295): tiny MuJoCo
     # configs (the 1x2048 CleanRL default) are op-latency-bound on an

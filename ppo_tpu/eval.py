@@ -55,24 +55,56 @@ def main(argv=None):
     if path is None:
         raise FileNotFoundError(f"no checkpoint under {args.checkpoint}")
     cfg_path = os.path.join(os.path.dirname(path), "config.json")
-    cfg = PPOConfig.from_json(open(cfg_path).read())
-    if args.sample_type:
-        cfg = dataclasses.replace(cfg, sample_type=args.sample_type)
+    cfg_json = open(cfg_path).read()
+    agent = json.loads(cfg_json).get("agent", "gaussian")
 
-    env = make_env(cfg.env_id, dtype=jnp.float32, solver_iterations=cfg.solver_iterations)
-    use_wrappers = cfg.agent == "gaussian"
-    venv = VectorEnv(env, cfg.num_envs, clip_actions=True,
-                     normalize_obs=use_wrappers, normalize_reward=use_wrappers)
-    model = build_model(cfg, env)
-    optimizer = ppo.make_optimizer(cfg)
-    rs = ppo.init_runner_state(cfg, venv, model, optimizer, jax.random.PRNGKey(0))
-    rs = ckpt.restore_state(path, rs)
+    if agent == "cnn_beta":
+        # a train_cnn run: rebuild CNNConfig + Roach agent from its
+        # config.json and evaluate offline, the trainer-side analogue of
+        # routing episodes through ppo_carla_inference (cpp:95-115)
+        from ppo_tpu import train_cnn
+        from ppo_tpu.envs.synthetic_driving import SyntheticDriving
+        from ppo_tpu.envs.vector import DictVectorEnv
+        from ppo_tpu.models import RoachCNNActorCritic
 
-    key = jax.random.PRNGKey(args.seed if args.seed is not None else cfg.eval_seed)
-    returns = ppo.evaluate(
-        cfg, venv, model, rs.params, key,
-        num_episodes=args.episodes, norm_state=rs.env,
-    )
+        cfg = train_cnn.CNNConfig.from_json(cfg_json)
+        env = SyntheticDriving(dtype=jnp.float32)
+        venv = DictVectorEnv(env, cfg.num_envs)
+        model = RoachCNNActorCritic(
+            act_dim=env.act_dim, image_encoder=cfg.image_encoder,
+            beta_min_a_b_value=cfg.beta_min_a_b_value,
+        )
+        template = model.init_params(
+            jax.random.PRNGKey(0), env.obs_shape, env.n_measurements,
+            env.n_value_measurements,
+        )
+        restored = ckpt.restore_state(path, {"params": template})
+        key = jax.random.PRNGKey(args.seed if args.seed is not None else cfg.eval_seed)
+        returns = train_cnn.evaluate(
+            cfg, venv, model, restored["params"], key,
+            num_episodes=args.episodes,
+            sample_type=args.sample_type or "mean",
+        )
+        cfg = dataclasses.replace(cfg, sample_type=args.sample_type or "mean")
+    else:
+        cfg = PPOConfig.from_json(cfg_json)
+        if args.sample_type:
+            cfg = dataclasses.replace(cfg, sample_type=args.sample_type)
+
+        env = make_env(cfg.env_id, dtype=jnp.float32, solver_iterations=cfg.solver_iterations)
+        use_wrappers = cfg.agent == "gaussian"
+        venv = VectorEnv(env, cfg.num_envs, clip_actions=True,
+                         normalize_obs=use_wrappers, normalize_reward=use_wrappers)
+        model = build_model(cfg, env)
+        optimizer = ppo.make_optimizer(cfg)
+        rs = ppo.init_runner_state(cfg, venv, model, optimizer, jax.random.PRNGKey(0))
+        rs = ckpt.restore_state(path, rs)
+
+        key = jax.random.PRNGKey(args.seed if args.seed is not None else cfg.eval_seed)
+        returns = ppo.evaluate(
+            cfg, venv, model, rs.params, key,
+            num_episodes=args.episodes, norm_state=rs.env,
+        )
     result = {
         "checkpoint": str(path),
         "iteration": iteration,

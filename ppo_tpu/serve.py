@@ -12,8 +12,9 @@ Protocol (length-prefixed multipart over a unix or TCP socket):
   frame   := uint32 n_parts, then per part: uint64 nbytes + raw bytes
   request := [bev u8 raw, measurements f32 raw, value_measurements f32 raw]
   reply   := [action f32, value f32, alpha f32, beta f32]
-  empty request (n_parts == 0) => shutdown (the keepalive/route-finished check,
-  ppo_carla_inference.cpp:134-143).
+  empty request (n_parts == 0) mid-session => route finished
+  (ppo_carla_inference.cpp:134-143): the connection closes and the server
+  accepts the next route. An empty frame AT HANDSHAKE => server shutdown.
 """
 
 from __future__ import annotations
@@ -128,7 +129,17 @@ class EnsemblePolicy:
         return np.asarray(a), np.asarray(v), np.asarray(al), np.asarray(be)
 
 
-def serve(folder: str, address, once: bool = False, conf_file: str = ""):
+def serve(folder: str, address, once: bool = False, conf_file: str = "",
+          max_sessions: int | None = None):
+    """Accept loop over routes (ppo_carla_inference.cpp:130-143): each
+    accepted connection is one route/session — handshake (sample type),
+    request loop until an empty frame marks the route finished — then the
+    server waits for the next route. An empty frame AT HANDSHAKE shuts the
+    server down. Ensemble policies are cached per sample type across
+    sessions, so repeated routes skip the checkpoint reload. `once`
+    preserves the legacy single-request single-session behavior (tests);
+    `max_sessions` bounds the loop for scripted use (None = serve forever,
+    like the reference's while(true))."""
     env = SyntheticDriving()
     if isinstance(address, str):
         sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
@@ -138,25 +149,45 @@ def serve(folder: str, address, once: bool = False, conf_file: str = ""):
         sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     sock.bind(address)
-    sock.listen(1)
-    conn, _ = sock.accept()
-    # handshake: sample type from the eval agent (ppo_carla_inference.cpp:88-90)
-    sample_type = recv_parts(conn)[0].decode()
-    policy = EnsemblePolicy(folder, sample_type, conf_file=conf_file)
+    sock.listen(4)
     H, W, C = env.obs_shape
-    while True:
-        parts = recv_parts(conn)
-        if not parts:
-            break
-        bev = np.frombuffer(parts[0], np.uint8).reshape(-1, H, W, C)
-        meas = np.frombuffer(parts[1], np.float32).reshape(-1, env.n_measurements)
-        vmeas = np.frombuffer(parts[2], np.float32).reshape(-1, env.n_value_measurements)
-        a, v, al, be = policy(bev, meas, vmeas)
-        send_parts(conn, [a.astype(np.float32), v.astype(np.float32),
-                          al.astype(np.float32), be.astype(np.float32)])
+    policies: dict[str, EnsemblePolicy] = {}
+    sessions = 0
+    shutdown = False
+    while not shutdown and (max_sessions is None or sessions < max_sessions):
+        conn, _ = sock.accept()
+        try:
+            # handshake: sample type from the eval agent (cpp:88-90);
+            # an empty handshake frame is the shutdown signal
+            hs = recv_parts(conn)
+            if not hs:
+                shutdown = True
+                continue
+            sample_type = hs[0].decode()
+            if sample_type not in policies:
+                policies[sample_type] = EnsemblePolicy(
+                    folder, sample_type, conf_file=conf_file
+                )
+            policy = policies[sample_type]
+            while True:
+                parts = recv_parts(conn)
+                if not parts:
+                    break  # route finished (cpp:134-143) -> next session
+                bev = np.frombuffer(parts[0], np.uint8).reshape(-1, H, W, C)
+                meas = np.frombuffer(parts[1], np.float32).reshape(-1, env.n_measurements)
+                vmeas = np.frombuffer(parts[2], np.float32).reshape(-1, env.n_value_measurements)
+                a, v, al, be = policy(bev, meas, vmeas)
+                send_parts(conn, [a.astype(np.float32), v.astype(np.float32),
+                                  al.astype(np.float32), be.astype(np.float32)])
+                if once:
+                    break
+        except ConnectionError:
+            pass  # client vanished mid-route: keep serving the next one
+        finally:
+            conn.close()
+        sessions += 1
         if once:
             break
-    conn.close()
     sock.close()
 
 

@@ -219,6 +219,18 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
                   f"({time.perf_counter() - it_start:.3f}s)")
         if cfg.checkpoint_every and iteration % cfg.checkpoint_every == 0:
             ckpt.save_state({"params": params, "opt_state": opt_state}, folder, iteration)
+        # in-training visualization (render=human): periodic GIF dump like
+        # train_ppo — the reference's GLFW window applies to this trainer too
+        if cfg.render == "human" and rank == 0:
+            from ppo_tpu.train_ppo import render_rollout_gif
+
+            every = cfg.render_interval or max(1, cfg.num_iterations // 10)
+            if iteration % every == 0:
+                render_rollout_gif(
+                    env, model, params, jax.random.PRNGKey(cfg.eval_seed),
+                    os.path.join(folder, f"train_{iteration:09d}.gif"),
+                    verbose=verbose,
+                )
 
     # drain the pipeline — and log the final update's stats instead of
     # discarding them (the last rollout's losses are as real as any other's)
@@ -256,6 +268,11 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
         writer.add_scalar("eval/avg_return", float(np.mean(returns)), 0)
         if verbose:
             print(f"eval avg return over {len(returns)} episodes: {np.mean(returns):.2f}")
+    if cfg.render == "human" and rank == 0:
+        from ppo_tpu.train_ppo import render_rollout_gif
+
+        render_rollout_gif(env, model, params, jax.random.PRNGKey(cfg.eval_seed),
+                           os.path.join(folder, "eval.gif"), verbose=verbose)
     writer.close()
     return params, returns
 

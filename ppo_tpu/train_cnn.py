@@ -165,6 +165,35 @@ def make_fns(cfg: CNNConfig, venv: DictVectorEnv, model, optimizer):
     )
 
 
+def evaluate(cfg: CNNConfig, venv: DictVectorEnv, model, params, key,
+             num_episodes=None, max_steps=None, sample_type="mean"):
+    """Offline evaluation of a CNN-policy checkpoint — the trainer-side
+    analogue of routing episodes through ppo_carla_inference
+    (ppo_carla_inference.cpp:95-115 loads the checkpoint; the eval agent asks
+    for deterministic actions, :88-90). Runs until num_episodes finish on the
+    dict-obs vector env; deterministic "mean" actions by default."""
+    num_episodes = num_episodes or cfg.num_eval_runs
+    max_steps = max_steps or venv.env.max_episode_steps
+    state, obs = venv.reset(key)
+
+    def eval_step(carry, _):
+        state, obs, key = carry
+        key, k = jax.random.split(key)
+        action, _, _, _, _, _ = model.get_action_and_value(
+            params, obs["bev_semantics"], obs["measurements"],
+            obs["value_measurements"], k, sample_type=sample_type,
+        )
+        state, obs, _, term, trunc, infos = venv.step(state, action)
+        return (state, obs, key), (infos["episode_return"], infos["done"])
+
+    rounds = -(-num_episodes // venv.num_envs)
+    (_, _, _), (ep_returns, ep_done) = jax.lax.scan(
+        eval_step, (state, obs, key), None, length=rounds * (max_steps + 1) + 1
+    )
+    returns = np.asarray(ep_returns)[np.asarray(ep_done)]
+    return returns[:num_episodes]
+
+
 def train(cfg: CNNConfig, verbose: bool = True):
     from ppo_tpu import select_platform
 

@@ -165,6 +165,17 @@ def train(cfg: PPOConfig, verbose: bool = True):
 
         if cfg.checkpoint_every and iteration % cfg.checkpoint_every == 0:
             ckpt.save_state(rs, folder, iteration)
+        # in-training visualization (reference renders every training step
+        # when render=human, mujoco_env.h:110-134; a periodic GIF dump is the
+        # headless analogue). Rank 0 only; ~10 dumps per run by default.
+        if cfg.render == "human" and rank == 0:
+            every = cfg.render_interval or max(1, cfg.num_iterations // 10)
+            if iteration % every == 0:
+                render_rollout_gif(
+                    env, model, rs.params, jax.random.PRNGKey(cfg.eval_seed),
+                    os.path.join(folder, f"train_{iteration:09d}.gif"),
+                    rms=getattr(rs.env, "obs_rms", None), verbose=verbose,
+                )
 
     ckpt.save_final(rs, folder)
 
@@ -197,9 +208,21 @@ def train(cfg: PPOConfig, verbose: bool = True):
 
 
 def render_eval_gif(cfg, env, venv, model, rs, out_path, steps=300, verbose=True):
+    render_rollout_gif(env, model, rs.params, jax.random.PRNGKey(cfg.eval_seed),
+                       out_path, steps=steps, rms=rs.env.obs_rms, verbose=verbose)
+
+
+def render_rollout_gif(env, model, params, key, out_path, steps=300, rms=None,
+                       sample_kwargs=None, verbose=True):
+    """One single-env policy rollout rendered to a GIF — the headless analogue
+    of the reference's GLFW tracking-camera window (mujoco_env.h:49-79,
+    110-134). Used for the final eval AND the periodic in-training dumps
+    (render=human + render_interval). `rms` is the env-0 observation
+    normalizer state when the wrapper stack is in play (sync PPO); the Beta
+    agent's stats are baked into the model, so AC-PPO passes None."""
     from ppo_tpu.envs.render import Renderer, save_gif
 
-    rms = rs.env.obs_rms  # training normalizer (env-0 statistics), if any
+    kwargs = sample_kwargs or {}
 
     @jax.jit
     def rollout(params, key):
@@ -212,14 +235,14 @@ def render_eval_gif(cfg, env, venv, model, rs, out_path, steps=300, verbose=True
             o = obs
             if rms is not None:
                 o = jnp.clip((o - rms.mean[0]) / jnp.sqrt(rms.var[0] + 1e-4), -10, 10)
-            a = model.get_action_and_value(params, o[None].astype(jnp.float32), ak)[0][0]
+            a = model.get_action_and_value(params, o[None].astype(jnp.float32), ak, **kwargs)[0][0]
             state, obs, _, _, _ = env.step(state, a, env.consts)
             return (state, obs, key), state.qpos
 
         (_, _, _), qtraj = jax.lax.scan(body, (state, obs, key), None, length=steps)
         return qtraj
 
-    qtraj = np.asarray(rollout(rs.params, jax.random.PRNGKey(cfg.eval_seed)))
+    qtraj = np.asarray(rollout(params, key))
     frames = Renderer(env.model).render_trajectory(qtraj)
     save_gif(frames, out_path)
     if verbose:

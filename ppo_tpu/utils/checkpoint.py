@@ -135,4 +135,13 @@ def resolve_checkpoint(path: str | os.PathLike):
     if p.is_file():
         m = _LATEST_RE.search(p.name)
         return p, int(m.group(1)) if m else 0
-    return latest_checkpoint(p)
+    best, best_it = latest_checkpoint(p)
+    if best is None:
+        # checkpoint_every=0 runs keep only the end-of-training state
+        # (model_final.pth analogue, ppo_continuous_action.cpp:587): fall
+        # back to state_final, then state_best
+        for name in ("state_final.msgpack", "state_best.msgpack"):
+            f = p / name
+            if f.is_file():
+                return f, 0
+    return best, best_it

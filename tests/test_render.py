@@ -39,3 +39,35 @@ def test_render_tracks_root(tmp_path):
 
     save_gif([f0, f1], tmp_path / "t.gif", fps=2)
     assert (tmp_path / "t.gif").stat().st_size > 0
+
+
+@pytest.mark.slow
+def test_in_training_gif_dumps(tmp_path):
+    """render=human produces periodic train_%09d.gif artifacts DURING
+    training (the headless analogue of the reference's every-step GLFW
+    window, mujoco_env.h:110-134) plus the final eval.gif — in both the
+    sync-PPO and AC-PPO trainers."""
+    import dataclasses
+    import glob
+    import os
+
+    from ppo_tpu.config import PPOConfig
+    from ppo_tpu.train_ac_ppo import ACPPOConfig, train as train_ac
+    from ppo_tpu.train_ppo import train as train_sync
+
+    common = dict(
+        env_id="HalfCheetah-v5", num_envs=2, num_steps=8, num_minibatches=2,
+        update_epochs=1, total_timesteps=32, solver_iterations=2,
+        num_eval_runs=1, render="human", render_interval=2,
+        checkpoint_every=0, exp_folder=str(tmp_path),
+    )
+    train_sync(PPOConfig(exp_name="viz_sync", **common), verbose=False)
+    run = glob.glob(os.path.join(tmp_path, "*viz_sync*"))[0]
+    # 2 iterations, interval 2 -> one in-training dump + the final eval gif
+    assert os.path.exists(os.path.join(run, "train_000000002.gif"))
+    assert os.path.exists(os.path.join(run, "eval.gif"))
+
+    train_ac(ACPPOConfig(exp_name="viz_ac", **common), verbose=False)
+    run = glob.glob(os.path.join(tmp_path, "*viz_ac*"))[0]
+    assert os.path.exists(os.path.join(run, "train_000000002.gif"))
+    assert os.path.exists(os.path.join(run, "eval.gif"))

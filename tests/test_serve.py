@@ -94,3 +94,52 @@ def test_serve_config_roundtrip_nondefault_encoder(tmp_path):
         )
         jax.tree.map(lambda a, b: np.testing.assert_array_equal(a.shape, b.shape),
                      restored["params"], template)
+
+
+def test_serve_accept_loop_two_sessions(tmp_path):
+    """ppo_carla_inference.cpp:130-143 parity: after a route finishes (empty
+    frame), the server accepts the NEXT connection instead of exiting."""
+    from ppo_tpu.envs.synthetic_driving import SyntheticDriving
+    from ppo_tpu.models import RoachCNNActorCritic
+    from ppo_tpu.serve import recv_parts, send_parts, serve
+    from ppo_tpu.utils import checkpoint as ckpt
+
+    env = SyntheticDriving()
+    model = RoachCNNActorCritic(act_dim=env.act_dim)
+    params = model.init_params(
+        jax.random.PRNGKey(0), env.obs_shape, env.n_measurements, env.n_value_measurements
+    )
+    ckpt.save_state({"params": params}, tmp_path, 0, keep_old=True)
+
+    path = str(tmp_path / "serve2.sock")
+    t = threading.Thread(target=serve, args=(str(tmp_path), path),
+                         kwargs={"max_sessions": 2})
+    t.start()
+    import os, time
+
+    for _ in range(100):
+        if os.path.exists(path):
+            break
+        time.sleep(0.05)
+
+    B = 2
+    bev = np.zeros((B,) + env.obs_shape, np.uint8)
+    meas = np.zeros((B, env.n_measurements), np.float32)
+    vmeas = np.zeros((B, env.n_value_measurements), np.float32)
+    replies = []
+    for _ in range(2):  # two sequential routes
+        cl = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        cl.connect(path)
+        send_parts(cl, [b"mean"])
+        send_parts(cl, [bev, meas, vmeas])
+        replies.append(recv_parts(cl))
+        send_parts(cl, [])  # route finished
+        cl.close()
+    t.join(timeout=30)
+    assert not t.is_alive()
+    assert len(replies) == 2 and all(len(r) == 4 for r in replies)
+    # deterministic "mean" actions: both routes served by the SAME cached
+    # ensemble must agree exactly
+    np.testing.assert_array_equal(
+        np.frombuffer(replies[0][0], np.float32), np.frombuffer(replies[1][0], np.float32)
+    )
