@@ -52,7 +52,8 @@ def bench_mesh(n_devices: int, num_envs: int = 512, num_steps: int = 16, reps: i
     rs, specs = init_distributed_runner_state(
         cfg, venv_g, model, optimizer, jax.random.PRNGKey(0), mesh
     )
-    run = jax.jit(lambda r: make_distributed_train_iteration(cfg, venv_l, model, optimizer, mesh)(r, specs))
+    run = jax.jit(lambda r: make_distributed_train_iteration(cfg, venv_l, model, optimizer, mesh)(r, specs),
+                  donate_argnums=(0,))
     # measurement discipline (see bench.py docstring): on this runtime
     # block_until_ready returns before remote execution finishes; every timed
     # window must end with a device_get of a scalar that data-depends on the

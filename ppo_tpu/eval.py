@@ -73,6 +73,7 @@ def main(argv=None):
         model = RoachCNNActorCritic(
             act_dim=env.act_dim, image_encoder=cfg.image_encoder,
             beta_min_a_b_value=cfg.beta_min_a_b_value,
+            compute_dtype=getattr(cfg, "compute_dtype", "float32"),
         )
         template = model.init_params(
             jax.random.PRNGKey(0), env.obs_shape, env.n_measurements,

@@ -37,12 +37,15 @@ _ENCODERS = {
 }
 
 
-def _mlp(widths: Sequence[int], use_ln: bool, name: str):
+def _mlp(widths: Sequence[int], use_ln: bool, name: str, dtype=None):
+    # matmuls in `dtype` (bf16 hits the MXU at twice the f32 rate);
+    # LayerNorm statistics stay f32 — flax casts the LN input up, XLA fuses
+    # the casts into the surrounding ops
     layers = []
     for w in widths:
-        layers.append(nn.Dense(w))
+        layers.append(nn.Dense(w, dtype=dtype))
         if use_ln:
-            layers.append(nn.LayerNorm())
+            layers.append(nn.LayerNorm(dtype=jnp.float32))
         layers.append(nn.relu)
     return nn.Sequential(layers, name=name)
 
@@ -56,11 +59,17 @@ class RoachCNNActorCritic(nn.Module):
     use_layer_norm_policy_head: bool = True
     use_positional_encoding: bool = False
     beta_min_a_b_value: float = 1.0
+    # mixed precision: "bfloat16" runs the conv/MLP trunk on the MXU's bf16
+    # path (params stay float32; LayerNorm statistics and the value/alpha/
+    # beta output heads stay float32 for numerics). Opt-in via
+    # CNNConfig.compute_dtype; default float32 = bit-identical to before.
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, bev, measurements, value_measurements):
         """bev: uint8/float [B, H, W, C]; measurements [B, M]; value_meas [B, V]."""
         dtype = measurements.dtype
+        cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
         x = bev.astype(dtype) / 255.0
         if self.use_positional_encoding:
             B, H, W, _ = x.shape
@@ -74,27 +83,31 @@ class RoachCNNActorCritic(nn.Module):
         for c, k, s in _ENCODERS[self.image_encoder]:
             x = nn.Conv(
                 c, (k, k), strides=(s, s), padding="VALID",
-                kernel_init=xavier_uniform(), bias_init=constant(0.1),
+                kernel_init=xavier_uniform(), bias_init=constant(0.1), dtype=cd,
             )(x)
             if use_conv_ln:
-                x = nn.LayerNorm(reduction_axes=(-3, -2, -1), feature_axes=(-3, -2, -1))(x)
+                x = nn.LayerNorm(reduction_axes=(-3, -2, -1), feature_axes=(-3, -2, -1),
+                                 dtype=jnp.float32)(x)
             x = nn.relu(x)
         x = x.reshape(x.shape[0], -1)
 
-        latent_state = _mlp([256, 256], self.use_layer_norm, "state_linear")(measurements)
-        features = _mlp([512, 256], self.use_layer_norm, "linear")(
-            jnp.concatenate([x, latent_state], -1)
+        latent_state = _mlp([256, 256], self.use_layer_norm, "state_linear", dtype=cd)(measurements)
+        features = _mlp([512, 256], self.use_layer_norm, "linear", dtype=cd)(
+            jnp.concatenate([x, latent_state.astype(x.dtype)], -1)
         )
 
-        value_feats = jnp.concatenate([features, value_measurements], -1)
-        v = _mlp([256, 256], self.use_layer_norm, "value_head_mlp")(value_feats)
-        value = nn.Dense(1, name="value_out")(v)[..., 0]
+        value_feats = jnp.concatenate([features, value_measurements.astype(features.dtype)], -1)
+        v = _mlp([256, 256], self.use_layer_norm, "value_head_mlp", dtype=cd)(value_feats)
+        value = nn.Dense(1, name="value_out", dtype=jnp.float32)(v)[..., 0]
 
         latent_pi = _mlp(
-            [256, 256], self.use_layer_norm and self.use_layer_norm_policy_head, "policy_head"
+            [256, 256], self.use_layer_norm and self.use_layer_norm_policy_head, "policy_head",
+            dtype=cd,
         )(features)
-        alpha = nn.softplus(nn.Dense(self.act_dim, name="dist_mu")(latent_pi)) + self.beta_min_a_b_value
-        beta = nn.softplus(nn.Dense(self.act_dim, name="dist_sigma")(latent_pi)) + self.beta_min_a_b_value
+        # output heads in f32: softplus floors + Beta log_prob/entropy are
+        # sensitive to head precision
+        alpha = nn.softplus(nn.Dense(self.act_dim, name="dist_mu", dtype=jnp.float32)(latent_pi)) + self.beta_min_a_b_value
+        beta = nn.softplus(nn.Dense(self.act_dim, name="dist_sigma", dtype=jnp.float32)(latent_pi)) + self.beta_min_a_b_value
         return alpha, beta, value
 
     # ---- action scaling --------------------------------------------------

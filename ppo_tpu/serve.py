@@ -88,6 +88,7 @@ class EnsemblePolicy:
         self.model = RoachCNNActorCritic(
             act_dim=env.act_dim, image_encoder=cfg.image_encoder,
             beta_min_a_b_value=cfg.beta_min_a_b_value,
+            compute_dtype=getattr(cfg, "compute_dtype", "float32"),
         )
         template = self.model.init_params(
             jax.random.PRNGKey(0), env.obs_shape, env.n_measurements, env.n_value_measurements

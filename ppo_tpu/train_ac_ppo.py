@@ -140,7 +140,13 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
         )
     else:
         ckey = None
-        collect = jax.jit(ac_ppo.make_collect_fn(cfg, venv, model))
+        # donate the env state: the previous iteration's buffers are dead
+        # (params are NOT donated — the update still reads them). The donated
+        # state needs PRIVATE const buffers: env_state.consts aliases
+        # env.consts, which eval/render still read outside the jit.
+        if getattr(env_state, "consts", None) is not None:
+            env_state = env_state.replace(consts=jax.tree.map(jnp.copy, env_state.consts))
+        collect = jax.jit(ac_ppo.make_collect_fn(cfg, venv, model), donate_argnums=(1,))
         update = jax.jit(ac_ppo.make_update_fn(cfg, model, optimizer), donate_argnums=(0, 1))
 
     done = done0 if cfg.num_devices > 1 else jnp.zeros(venv.num_envs, bool)
@@ -153,7 +159,9 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
     from ppo_tpu.utils.tictoc import TicToc
 
     tt = TicToc(verbose=verbose and not cfg.pipelined)
-    for iteration in range(start_iter, cfg.num_iterations + 1):
+    from ppo_tpu.utils.progress import progress_range
+
+    for iteration in progress_range(start_iter, cfg.num_iterations + 1, enabled=verbose):
         it_start = time.perf_counter()
         key, k_up = jax.random.split(key)
         # dispatch collection with the CURRENT policy snapshot

@@ -100,10 +100,18 @@ def train(cfg: PPOConfig, verbose: bool = True):
             cfg, venv, model, optimizer, jax.random.PRNGKey(cfg.seed), mesh
         )
         run = make_distributed_train_iteration(cfg, venv_local, model, optimizer, mesh)
-        train_iteration = jax.jit(lambda r: run(r, specs))
+        # donate the runner state: params/opt/env buffers are dead after the
+        # call, so XLA aliases them in place instead of allocating+copying
+        train_iteration = jax.jit(lambda r: run(r, specs), donate_argnums=(0,))
     else:
         rs = ppo.init_runner_state(cfg, venv, model, optimizer, jax.random.PRNGKey(cfg.seed))
-        train_iteration = jax.jit(ppo.make_train_iteration(cfg, venv, model, optimizer))
+        train_iteration = jax.jit(ppo.make_train_iteration(cfg, venv, model, optimizer),
+                                  donate_argnums=(0,))
+    # the donated tree must own PRIVATE const buffers: rs.env.consts aliases
+    # env.consts, which the final eval / renderer still read outside the jit —
+    # donation would delete them under those readers
+    if getattr(rs.env, "consts", None) is not None:
+        rs = rs.replace(env=rs.env.replace(consts=jax.tree.map(jnp.copy, rs.env.consts)))
 
     # resume: full runner state (params, optimizer, env normalizers, RNG) —
     # the reference resumes model+optimizer only (ac_ppo_carla.cpp:226-255);
@@ -118,7 +126,9 @@ def train(cfg: PPOConfig, verbose: bool = True):
     start = time.time()
     tt = TicToc(verbose=verbose)
     tracing = False
-    for iteration in range(start_iter, cfg.num_iterations + 1):
+    from ppo_tpu.utils.progress import progress_range
+
+    for iteration in progress_range(start_iter, cfg.num_iterations + 1, enabled=verbose):
         # XLA-op-depth tracing of post-warmup iterations (§5 profiling parity)
         if cfg.profile and iteration == min(cfg.num_iterations, start_iter + 2):
             jax.profiler.start_trace(os.path.join(folder, "profile"))

@@ -9,11 +9,14 @@ import jax.numpy as jnp
 from ppo_tpu.envs import make_env
 from ppo_tpu.envs.mujoco_envs import EnvState
 
+# Ant/Humanoid parity compiles are minutes each (RK4 + big constraint
+# systems in f64): slow tier. HalfCheetah+Hopper keep obs/reward/termination
+# semantics covered in the fast tier.
 CASES = [
     ("HalfCheetah-v5", "HalfCheetah-v5", 5e-7, 5),
     ("Hopper-v5", "Hopper-v5", 5e-7, 5),
-    ("Ant-v5", "Ant-v5", 5e-5, 5),
-    ("Humanoid-v4", "Humanoid-v4", 5e-4, 5),
+    pytest.param("Ant-v5", "Ant-v5", 5e-5, 5, marks=pytest.mark.slow),
+    pytest.param("Humanoid-v4", "Humanoid-v4", 5e-4, 5, marks=pytest.mark.slow),
 ]
 
 
