@@ -80,8 +80,11 @@ if __name__ == "__main__":
     n = len(jax.devices())
     sizes = [s for s in (1, 2, 4, 8) if s <= n] or [1]
     # real accelerator: large-batch config so the ~26 ms per-call RTT of the
-    # tunneled runtime is amortized (65k env-steps per iteration call);
+    # tunneled runtime is amortized (131k env-steps per iteration call; the
+    # round-4 phase attribution showed collection dominates and the update is
+    # ~13 ms, so the flagship batch closes the stepping->training gap: 976k
+    # full-iteration env-steps/s vs 1.10M pure stepping);
     # CPU/virtual-mesh: small functional-demo config
-    kw = {} if jax.default_backend() == "cpu" else {"num_envs": 2048, "num_steps": 32}
+    kw = {} if jax.default_backend() == "cpu" else {"num_envs": 4096, "num_steps": 32}
     for s in sizes:
         print(json.dumps(bench_mesh(s, **kw)))

@@ -126,7 +126,7 @@ def solve_newton(M, J, D, aref, qacc_smooth, iterations=10, x0=None,
 
 
 def _newton_lanes(Mt, Jt, Dt, at, qst, x0t, iterations, ls_iterations,
-                  cg_iterations=None):
+                  cg_iterations=None, materialize_h=None):
     """solve_newton math with the env batch in the LAST axis.
 
     Mt [nv,nv,B], Jt [ne,nv,B], Dt/at [ne,B], qst/x0t [nv,B]. Every primitive
@@ -165,24 +165,65 @@ def _newton_lanes(Mt, Jt, Dt, at, qst, x0t, iterations, ls_iterations,
 
     xs = qst
 
-    def cost(x):
-        jar = matvec_J(x) - at
-        dx = x - xs
-        return (0.5 * jnp.sum(dx * matvec_M(dx), 0)
-                + 0.5 * jnp.sum(jnp.where(jar < 0, Dt * jar * jar, 0.0), 0))
+    def pen(j):
+        return 0.5 * jnp.sum(jnp.where(j < 0, Dt * j * j, 0.0), 0)
 
-    x = jnp.where(cost(x0t) < cost(xs), x0t, xs)
+    # the constraint residual jar = J x - aref is CARRIED through the Newton
+    # loop (updated incrementally as jar + a*dj after the line search) instead
+    # of being recomputed — each avoided recompute is a full HBM pass over the
+    # [ne, nv, *B] Jacobian, the measured cost center for tall systems
+    jar_xs = matvec_J(xs) - at
+    jar_x0 = matvec_J(x0t) - at
+    dx0 = x0t - xs
+    cost_x0 = 0.5 * jnp.sum(dx0 * matvec_M(dx0), 0) + pen(jar_x0)
+    take_x0 = cost_x0 < pen(jar_xs)
+    x = jnp.where(take_x0, x0t, xs)
+    jar0 = jnp.where(take_x0, jar_x0, jar_xs)
 
-    def body(_, x):
-        jar = matvec_J(x) - at
+    # Materialized-Hessian mode (XLA path only; the in-kernel trace stays
+    # matrix-free to keep VMEM small): the CG loop otherwise re-reads the
+    # [ne, nv, *B] Jacobian ~2x per iteration x nv iterations x Newton
+    # iterations — for Humanoid (ne=552, nv=23) that is ~50 HBM passes over a
+    # 13 MB/256-env tensor per solve, which measured as the whole bottleneck
+    # (54 ms per 256-env RK4 step). H = M + J^T diag(d) J is only [nv,nv,*B]
+    # (0.5 MB at 256 envs): build it ONCE per Newton iteration with a
+    # batched-matmul einsum (MXU) and let CG read the small tensor instead.
+    # Same math: Hmv(p) == matvec_M(p) + matvec_JT(d * matvec_J(p)) exactly
+    # (associativity of the contraction; f32 reduction order differs only).
+    from ppo_tpu.physics.types import KERNEL_MODE
+
+    if materialize_h is None:
+        # default: XLA tracing only (never inside a Pallas kernel body —
+        # _newton_pallas passes False; mega.py is covered by KERNEL_MODE),
+        # and only when the constraint system is TALL: measured on the chip
+        # (bench_solver_variants.py + bench_envs.py), Humanoid's ne=552 gains
+        # 3x per solve from CG reading the [nv,nv,B] H instead of ~50 passes
+        # over the [ne,nv,B] J, while Ant's ne=100 LOSES ~18% to the einsum
+        # build (transpose-heavy lowering dwarfs the smaller J savings).
+        ne_here = Jt.shape[0]
+        materialize_h = (not KERNEL_MODE[0]) and ne_here >= 256
+
+    def body(_, carry):
+        x, jar = carry
         d = jnp.where(jar < 0, Dt, 0.0)                 # [ne, B]
-        g = matvec_M(x - xs) + matvec_JT(d * jar)
+        mxs = matvec_M(x - xs)                          # reused: g, g0, costs
+        g = mxs + matvec_JT(d * jar)
 
-        def Hmv(p):
-            return matvec_M(p) + matvec_JT(d * matvec_J(p))
+        if materialize_h:
+            # H[i,j,*B] = M[i,j,*B] + sum_e J[e,i,*B] d[e,*B] J[e,j,*B]
+            H = Mt + jnp.einsum("ei...,ej...->ij...", Jt, d[:, None] * Jt)
+
+            def Hmv(p):
+                return jnp.sum(H * p[None], 1)
+
+            Pinv = 1.0 / jnp.sum(H * eye[(Ellipsis,) + (None,) * nb], 1)
+        else:
+            def Hmv(p):
+                return matvec_M(p) + matvec_JT(d * matvec_J(p))
+
+            Pinv = 1.0 / (diagM + jnp.sum(d[:, None] * Jt * Jt, 0))
 
         # Jacobi-preconditioned CG for H dx = -g
-        Pinv = 1.0 / (diagM + jnp.sum(d[:, None] * Jt * Jt, 0))
         r = -g
         z = Pinv * r
         p = z
@@ -205,7 +246,7 @@ def _newton_lanes(Mt, Jt, Dt, at, qst, x0t, iterations, ls_iterations,
 
         mdx = matvec_M(dx)
         dmd = jnp.sum(dx * mdx, 0)
-        g0 = jnp.sum(dx * matvec_M(x - xs), 0)
+        g0 = jnp.sum(dx * mxs, 0)
         dj = matvec_J(dx)
 
         a = jnp.ones(x.shape[1:], x.dtype)
@@ -215,11 +256,16 @@ def _newton_lanes(Mt, Jt, Dt, at, qst, x0t, iterations, ls_iterations,
             dphi = g0 + a * dmd + jnp.sum(jnp.where(act, Dt * rr * dj, 0.0), 0)
             ddphi = dmd + jnp.sum(jnp.where(act, Dt * dj * dj, 0.0), 0)
             a = a - dphi / jnp.maximum(ddphi, 1e-12)
-        a = jnp.where(cost(x + a * dx) < cost(x), a, 0.0)
-        return x + a * dx
+        # acceptance check WITHOUT fresh J/M matvecs: the quadratic term of
+        # cost(x + a dx) expands to quad(x) + a g0 + a^2/2 dmd, and the
+        # constraint residual there is jar + a dj — all already in registers
+        quad_x = 0.5 * jnp.sum((x - xs) * mxs, 0)
+        cost_x = quad_x + pen(jar)
+        cost_new = quad_x + a * g0 + 0.5 * a * a * dmd + pen(jar + a * dj)
+        a = jnp.where(cost_new < cost_x, a, 0.0)
+        return x + a * dx, jar + a * dj
 
-    x = jax.lax.fori_loop(0, iterations, body, x)
-    jar = matvec_J(x) - at
+    x, jar = jax.lax.fori_loop(0, iterations, body, (x, jar0))
     f = jnp.where(jar < 0, -Dt * jar, 0.0)
     return f, x
 
@@ -254,6 +300,7 @@ def _newton_pallas(Mt, Jt, Dt, at, qst, x0t, iterations, ls_iterations, interpre
         f, x = _newton_lanes(
             M_ref[...], J_ref[...], D_ref[...], a_ref[...], qs_ref[...],
             x0_ref[...], iterations, ls_iterations,
+            materialize_h=False,  # Mosaic kernel body: no dot_general/einsum
         )
         f_ref[...] = f
         x_ref[...] = x
