@@ -32,6 +32,7 @@ def tiny_cfg(num_envs=8):
     )
 
 
+@pytest.mark.slow  # ~2 min compile on 2 cores; dryrun_multichip covers the path
 def test_distributed_iteration_runs_and_replicates():
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
     mesh = make_mesh(8)
@@ -62,6 +63,7 @@ def test_distributed_iteration_runs_and_replicates():
     assert int(rs2.iteration) == 1
 
 
+@pytest.mark.slow  # ~1.5 min; determinism also pinned by the fast golden test
 def test_distributed_deterministic():
     mesh = make_mesh(8)
     cfg = tiny_cfg(num_envs=8)
