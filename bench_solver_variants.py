@@ -35,7 +35,11 @@ def _time(fn, *args, reps=5):
     return statistics.median(ts)
 
 
-def make_problem(ne=552, nv=23, B=1024, key=0):
+import os
+
+def make_problem(ne=int(os.environ.get("NE", 552)),
+                 nv=int(os.environ.get("NV", 23)),
+                 B=int(os.environ.get("BATCH", 1024)), key=0):
     k = jax.random.split(jax.random.PRNGKey(key), 6)
     # SPD mass matrix: A A^T + nv I, lane layout [nv, nv, B]
     A = jax.random.normal(k[0], (B, nv, nv), jnp.float32)
@@ -67,6 +71,11 @@ def newton(M, J, D, aref, qs, x0, iterations=4, mode="cg_matH", hbuild="einsum")
     def build_H(d):
         if hbuild == "einsum":
             return M + jnp.einsum("ei...,ej...->ij...", J, d[:, None] * J)
+        if hbuild == "bcast":
+            # stay in VPU-land: fused broadcast-multiply + reduce over e,
+            # no dot_general (tiny per-env matmuls underuse the MXU)
+            dJ = d[:, None] * J                          # [ne, nv, B]
+            return M + jnp.sum(J[:, :, None] * dJ[:, None, :], 0)
         # batch-leading matmul: transpose J to [B, nv, ne] once
         Jb = jnp.transpose(J, (2, 1, 0))                 # [B, nv, ne]
         dJb = jnp.transpose(d[:, None] * J, (2, 0, 1))   # [B, ne, nv]
@@ -165,9 +174,11 @@ def main():
     prob = make_problem()
     ref = None
     SCAN = 20  # amortize the ~26 ms tunnel-call RTT over many solves
-    for mode, hbuild in [("cg_matfree", "einsum"), ("cg_matH", "einsum"),
-                         ("cg_matH", "matmul"), ("chol_direct", "einsum"),
-                         ("chol_direct", "matmul")]:
+    variants = [("cg_matfree", "einsum"), ("cg_matH", "einsum"),
+                ("cg_matH", "matmul"), ("cg_matH", "bcast")]
+    if os.environ.get("CHOL"):
+        variants += [("chol_direct", "einsum"), ("chol_direct", "matmul")]
+    for mode, hbuild in variants:
         one = functools.partial(newton, mode=mode, hbuild=hbuild)
 
         @jax.jit

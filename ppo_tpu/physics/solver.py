@@ -194,14 +194,18 @@ def _newton_lanes(Mt, Jt, Dt, at, qst, x0t, iterations, ls_iterations,
 
     if materialize_h is None:
         # default: XLA tracing only (never inside a Pallas kernel body —
-        # _newton_pallas passes False; mega.py is covered by KERNEL_MODE),
-        # and only when the constraint system is TALL: measured on the chip
-        # (bench_solver_variants.py + bench_envs.py), Humanoid's ne=552 gains
-        # 3x per solve from CG reading the [nv,nv,B] H instead of ~50 passes
-        # over the [ne,nv,B] J, while Ant's ne=100 LOSES ~18% to the einsum
-        # build (transpose-heavy lowering dwarfs the smaller J savings).
-        ne_here = Jt.shape[0]
-        materialize_h = (not KERNEL_MODE[0]) and ne_here >= 256
+        # _newton_pallas passes False; mega.py is covered by KERNEL_MODE).
+        # Per-shape chip measurements (bench_solver_variants.py): CG on the
+        # materialized H beats matrix-free everywhere on the XLA path —
+        # Humanoid (ne=552) 3.1x, Ant (ne=100) 1.2x, HalfCheetah (ne=64)
+        # 1.3x — but the winning H-BUILD differs: tall systems want the
+        # batched-matmul einsum (one pass over J, MXU contraction), short
+        # systems want the fused broadcast-reduce (the einsum's transposes
+        # dominate at small ne; the bcast build re-reads J ~nv times, fine
+        # when nv is small, ruinous at Humanoid's nv=23: 8.0 vs 2.1 ms).
+        materialize_h = not KERNEL_MODE[0]
+
+    ne_here = Jt.shape[0]
 
     def body(_, carry):
         x, jar = carry
@@ -211,7 +215,11 @@ def _newton_lanes(Mt, Jt, Dt, at, qst, x0t, iterations, ls_iterations,
 
         if materialize_h:
             # H[i,j,*B] = M[i,j,*B] + sum_e J[e,i,*B] d[e,*B] J[e,j,*B]
-            H = Mt + jnp.einsum("ei...,ej...->ij...", Jt, d[:, None] * Jt)
+            dJ = d[:, None] * Jt
+            if ne_here >= 256:
+                H = Mt + jnp.einsum("ei...,ej...->ij...", Jt, dJ)
+            else:
+                H = Mt + jnp.sum(Jt[:, :, None] * dJ[:, None, :], 0)
 
             def Hmv(p):
                 return jnp.sum(H * p[None], 1)
