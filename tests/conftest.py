@@ -23,6 +23,7 @@ jax.config.update("jax_enable_x64", True)
 # 2-core host (fresh CPU compiles of physics programs), so warm re-runs get
 # most of their time back. The cache dir is gitignored; the first run on a
 # fresh host seeds it.
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+if not os.environ.get("PPO_TPU_NO_TEST_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
