@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-H = W = 84
 CHANNELS = 3
 N_MEASUREMENTS = 8
 N_VALUE_MEASUREMENTS = 4
@@ -61,9 +60,14 @@ def _road_heading(s, phase, amp):
 
 
 class SyntheticDriving:
-    """Functional env with the CARLA dict-observation interface."""
+    """Functional env with the CARLA dict-observation interface.
 
-    obs_shape = (H, W, CHANNELS)
+    `image_size` selects the BEV resolution: 84 is the BASELINE stress
+    config; 192 matches the Roach encoders' native CARLA input
+    (carla_model.h:44-106 are sized for 192x192 BEV). Pixel density scales
+    with resolution so both sizes see the same physical field of view.
+    """
+
     n_measurements = N_MEASUREMENTS
     n_value_measurements = N_VALUE_MEASUREMENTS
     act_dim = 2
@@ -71,8 +75,11 @@ class SyntheticDriving:
     action_high = 1.0
     max_episode_steps = MAX_STEPS
 
-    def __init__(self, dtype=jnp.float32):
+    def __init__(self, dtype=jnp.float32, image_size=84):
         self.dtype = dtype
+        self.image_size = int(image_size)
+        self.obs_shape = (self.image_size, self.image_size, CHANNELS)
+        self.px_per_m = PX_PER_M * (self.image_size / 84.0)
 
     def reset(self, key):
         key, k1, k2, k3 = jax.random.split(key, 4)
@@ -91,10 +98,11 @@ class SyntheticDriving:
     def _obs(self, st: DrivingState):
         dtype = self.dtype
         # ego-frame sample grid: rows ahead of the car, cols lateral
-        iy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).astype(dtype)
-        ix = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).astype(dtype)
-        fwd = (H * 0.75 - iy) / PX_PER_M          # meters ahead (+) / behind (-)
-        lat = (ix - W / 2) / PX_PER_M             # meters right (+)
+        h = w = self.image_size
+        iy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0).astype(dtype)
+        ix = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1).astype(dtype)
+        fwd = (h * 0.75 - iy) / self.px_per_m     # meters ahead (+) / behind (-)
+        lat = (ix - w / 2) / self.px_per_m        # meters right (+)
         cos_y, sin_y = jnp.cos(st.yaw), jnp.sin(st.yaw)
         wx = st.x + fwd * cos_y - lat * sin_y
         wy = st.y + fwd * sin_y + lat * cos_y

@@ -63,17 +63,25 @@ def main(argv=None):
         # config.json and evaluate offline, the trainer-side analogue of
         # routing episodes through ppo_carla_inference (cpp:95-115)
         from ppo_tpu import train_cnn
-        from ppo_tpu.envs.synthetic_driving import SyntheticDriving
         from ppo_tpu.envs.vector import DictVectorEnv
         from ppo_tpu.models import RoachCNNActorCritic
 
         cfg = train_cnn.CNNConfig.from_json(cfg_json)
-        env = SyntheticDriving(dtype=jnp.float32)
+        # env fully determined by the run's config.json (image_size etc.),
+        # never hardcoded — a future external-env checkpoint must fail loudly
+        # here rather than silently eval on the wrong env
+        if cfg.external_env:
+            raise ValueError(
+                "checkpoint was trained against external simulators "
+                f"({cfg.external_env}); offline eval has no env to step — "
+                "serve it with ppo_tpu.serve instead"
+            )
+        env = train_cnn.make_cnn_env(cfg)
         venv = DictVectorEnv(env, cfg.num_envs)
         model = RoachCNNActorCritic(
             act_dim=env.act_dim, image_encoder=cfg.image_encoder,
             beta_min_a_b_value=cfg.beta_min_a_b_value,
-            compute_dtype=getattr(cfg, "compute_dtype", "float32"),
+            compute_dtype=cfg.compute_dtype,
         )
         template = model.init_params(
             jax.random.PRNGKey(0), env.obs_shape, env.n_measurements,

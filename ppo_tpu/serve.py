@@ -29,8 +29,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ppo_tpu.config import PPOConfig
-from ppo_tpu.envs.synthetic_driving import SyntheticDriving
 from ppo_tpu.models import RoachCNNActorCritic
 from ppo_tpu.utils import checkpoint as ckpt
 
@@ -82,13 +80,15 @@ def load_serve_config(folder: str, conf_file: str = ""):
 
 class EnsemblePolicy:
     def __init__(self, folder: str, sample_type: str = "mean", conf_file: str = ""):
-        env = SyntheticDriving()
-        self.env = env
+        from ppo_tpu.train_cnn import make_cnn_env
+
         cfg = load_serve_config(folder, conf_file)
+        env = make_cnn_env(cfg)  # obs shapes from the run's config.json
+        self.env = env
         self.model = RoachCNNActorCritic(
             act_dim=env.act_dim, image_encoder=cfg.image_encoder,
             beta_min_a_b_value=cfg.beta_min_a_b_value,
-            compute_dtype=getattr(cfg, "compute_dtype", "float32"),
+            compute_dtype=cfg.compute_dtype,
         )
         template = self.model.init_params(
             jax.random.PRNGKey(0), env.obs_shape, env.n_measurements, env.n_value_measurements
@@ -130,18 +130,19 @@ class EnsemblePolicy:
         return np.asarray(a), np.asarray(v), np.asarray(al), np.asarray(be)
 
 
-def serve(folder: str, address, once: bool = False, conf_file: str = "",
+def serve(folder: str, address, conf_file: str = "",
           max_sessions: int | None = None):
     """Accept loop over routes (ppo_carla_inference.cpp:130-143): each
     accepted connection is one route/session — handshake (sample type),
     request loop until an empty frame marks the route finished — then the
     server waits for the next route. An empty frame AT HANDSHAKE shuts the
     server down. Ensemble policies are cached per sample type across
-    sessions, so repeated routes skip the checkpoint reload. `once`
-    preserves the legacy single-request single-session behavior (tests);
-    `max_sessions` bounds the loop for scripted use (None = serve forever,
-    like the reference's while(true))."""
-    env = SyntheticDriving()
+    sessions, so repeated routes skip the checkpoint reload. `max_sessions`
+    bounds the loop for scripted use (None = serve forever, like the
+    reference's while(true))."""
+    from ppo_tpu.train_cnn import make_cnn_env
+
+    env = make_cnn_env(load_serve_config(folder, conf_file))
     if isinstance(address, str):
         sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         if os.path.exists(address):
@@ -180,15 +181,11 @@ def serve(folder: str, address, once: bool = False, conf_file: str = "",
                 a, v, al, be = policy(bev, meas, vmeas)
                 send_parts(conn, [a.astype(np.float32), v.astype(np.float32),
                                   al.astype(np.float32), be.astype(np.float32)])
-                if once:
-                    break
         except ConnectionError:
             pass  # client vanished mid-route: keep serving the next one
         finally:
             conn.close()
         sessions += 1
-        if once:
-            break
     sock.close()
 
 

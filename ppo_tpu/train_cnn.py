@@ -43,6 +43,9 @@ class CNNConfig(PPOConfig):
     ent_coef: float = 0.01
     agent: str = "cnn_beta"
     image_encoder: str = "roach_ln"
+    # BEV resolution: 84 = the BASELINE stress config; 192 = the Roach
+    # encoders' native CARLA input size (carla_model.h:44-106)
+    image_size: int = 84
     beta_min_a_b_value: float = 1.0
     # "bfloat16" runs the conv/MLP trunk in bf16 on the MXU (params, LayerNorm
     # stats, and output heads stay f32) — the accelerator-bound workload's
@@ -59,6 +62,13 @@ class CNNConfig(PPOConfig):
     # debug-viz equivalent of the reference's visualize_model cv window
     # (carla_model.h:336-552): every N iterations write viz_%09d.png for env 0
     visualize_interval: int = 0
+
+
+def make_cnn_env(cfg: CNNConfig):
+    """The ONE place a CNN-trainer config turns into its env — train, eval,
+    and serve all dispatch through here so a checkpoint's config.json fully
+    determines the env it is evaluated/served against."""
+    return SyntheticDriving(dtype=jnp.float32, image_size=cfg.image_size)
 
 
 def make_collect_fn(cfg: CNNConfig, venv: DictVectorEnv, model):
@@ -229,7 +239,7 @@ def train(cfg: CNNConfig, verbose: bool = True):
         os.makedirs(folder, exist_ok=True)
         writer = NullWriter()
 
-    env = SyntheticDriving(dtype=jnp.float32)
+    env = make_cnn_env(cfg)
     venv = DictVectorEnv(env, cfg.num_envs)
     model = RoachCNNActorCritic(
         act_dim=env.act_dim, image_encoder=cfg.image_encoder,
@@ -297,15 +307,28 @@ def train(cfg: CNNConfig, verbose: bool = True):
     windowed: list[float] = []
     best = -np.inf
     from ppo_tpu.utils.progress import progress_range
+    from ppo_tpu.utils.tictoc import TicToc
 
+    # collect/update phase attribution (ac_ppo_carla.cpp:371,380 timing
+    # marks). The mid-iteration sync it needs costs one tunnel RTT, so it is
+    # verbose-only — programmatic callers keep fully-overlapped dispatch.
+    tt = TicToc(verbose=verbose)
     for iteration in progress_range(start_iter, cfg.num_iterations + 1, enabled=verbose):
         it_start = time.perf_counter()
         key, k_up = jax.random.split(key)
+        tt.tic()
         if ckey is not None:
             env_state, obs, done, ckey, tr = collect(params, env_state, obs, done, ckey)
         else:
             env_state, obs, done, key, tr = collect(params, env_state, obs, done, key)
+        if verbose:
+            float(jax.device_get(tr.rewards[0, 0]))  # sync: end of collection
+            tt.toc("Time for collection:")
+            tt.tic()
         params, opt_state, stats = update(params, opt_state, tr, k_up)
+        if verbose:
+            float(jax.device_get(stats.total_loss))
+            tt.toc("Time for training:")
         global_step += cfg.batch_size
 
         from ppo_tpu.parallel.dp import fetch_host

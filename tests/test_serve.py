@@ -24,7 +24,8 @@ def test_ensemble_serve_roundtrip(tmp_path):
         ckpt.save_state({"params": params}, tmp_path, seed, keep_old=True)
 
     path = str(tmp_path / "serve.sock")
-    t = threading.Thread(target=serve, args=(str(tmp_path), path), kwargs={"once": True})
+    t = threading.Thread(target=serve, args=(str(tmp_path), path),
+                         kwargs={"max_sessions": 1})
     t.start()
     import os, time
 
@@ -47,6 +48,7 @@ def test_ensemble_serve_roundtrip(tmp_path):
     value = np.frombuffer(reply[1], np.float32)
     assert np.all((action >= -1) & (action <= 1))
     assert value.shape == (B,)
+    send_parts(cl, [])  # route finished -> session ends
     cl.close()
     t.join()
 
