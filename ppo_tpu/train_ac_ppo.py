@@ -39,13 +39,17 @@ class ACPPOConfig(PPOConfig):
     num_eval_runs: int = 128            # ac_ppo_continuous_action.cpp:76
     agent: str = "beta"
     # Overlapped rollout/update is opt-in: it hides the whole update behind
-    # collection (measured 0.172 s/iter vs 0.220 s serial, HalfCheetah 64x64
-    # on the chip — runs_curves/ac_overlap_*.log) but trains each rollout
-    # with a one-iteration-stale policy, which is NOT what the reference does
-    # (its async is per-env WITHIN collection, ac_ppo...cpp:641-698; the
-    # iteration boundary is a full barrier at :706). The same-seed A/B showed
-    # a real learning cost (262k-step HalfCheetah eval: 359.6 serial vs 7.2
-    # pipelined), so the reference-faithful serial order is the default.
+    # collection (measured 0.23 s/iter vs 0.31 s serial, HalfCheetah 64x128
+    # on the chip, round 5) but trains each rollout with a one-iteration-
+    # stale policy, which is NOT what the reference does (its async is
+    # per-env WITHIN collection, ac_ppo...cpp:641-698; the iteration boundary
+    # is a full barrier at :706). Measured cost of the staleness (round-5
+    # same-seed 1M-step HalfCheetah A/B, runs_curves/ac_pipe_1m.log /
+    # ac_serial_1m.log): eval 722.3 pipelined vs 747.2 serial, a ~3% return
+    # gap for ~25% more throughput. (Round 3's alarming "eval 7 vs 360" was
+    # a 262k-step-budget threshold artifact — the pipelined learning curve
+    # was rising normally, just ~1/3 behind; see docs/PERF.md round-5 notes.)
+    # Serial stays the default for reference fidelity.
     pipelined: bool = False
     estimate_mean_std: bool = False
 
@@ -147,6 +151,12 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
         if getattr(env_state, "consts", None) is not None:
             env_state = env_state.replace(consts=jax.tree.map(jnp.copy, env_state.consts))
         collect = jax.jit(ac_ppo.make_collect_fn(cfg, venv, model), donate_argnums=(1,))
+        # Donating params here is safe even in pipelined mode, where the
+        # NEXT collect reading the same buffer is already in flight: dispatch
+        # order sequences the donated buffer's reuse after its pending reads
+        # (verified round 5 — same-seed pipelined runs with and without
+        # params donation are bit-identical per-iteration, runs_curves/
+        # ac_pipe_donate.log vs ac_pipe_nodonate.log).
         update = jax.jit(ac_ppo.make_update_fn(cfg, model, optimizer), donate_argnums=(0, 1))
 
     done = done0 if cfg.num_devices > 1 else jnp.zeros(venv.num_envs, bool)
@@ -223,8 +233,10 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
         sps = int((global_step - (start_iter - 1) * cfg.batch_size) / (time.time() - start))
         writer.add_scalar("charts/SPS", sps, global_step)
         if verbose:
+            kl = f" kl {float(s.approx_kl):.4f} clipfrac {float(s.clipfrac):.3f}" \
+                if stats is not None else ""
             print(f"iter {iteration}/{cfg.num_iterations} SPS {sps} "
-                  f"({time.perf_counter() - it_start:.3f}s)")
+                  f"({time.perf_counter() - it_start:.3f}s){kl}")
         if cfg.checkpoint_every and iteration % cfg.checkpoint_every == 0:
             ckpt.save_state({"params": params, "opt_state": opt_state}, folder, iteration)
         # in-training visualization (render=human): periodic GIF dump like
