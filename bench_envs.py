@@ -44,7 +44,7 @@ def _fetch(x) -> float:
 
 
 def measure(env_id: str, num_envs: int, steps: int, solver_iterations: int = 4,
-            warmup: int = 2, reps: int = 3) -> dict:
+            warmup: int = 2, reps: int = 3, topk: int | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -55,7 +55,8 @@ def measure(env_id: str, num_envs: int, steps: int, solver_iterations: int = 4,
     from ppo_tpu.envs import make_env
     from ppo_tpu.models import GaussianActorCritic
 
-    env = make_env(env_id, dtype=jnp.float32, solver_iterations=solver_iterations)
+    env = make_env(env_id, dtype=jnp.float32, solver_iterations=solver_iterations,
+                   contact_topk=topk)
     model = GaussianActorCritic(act_dim=env.act_dim)
     params = model.init_params(jax.random.PRNGKey(1), env.obs_dim)
     consts = env.consts
@@ -96,6 +97,7 @@ def measure(env_id: str, num_envs: int, steps: int, solver_iterations: int = 4,
         "scan_steps": steps,
         "env_steps_per_s": round(num_envs * steps / dt),
         "ms_per_vector_step": round(dt / steps * 1e3, 3),
+        "contact_topk": env.ctx.topk,
     }
 
 
@@ -105,6 +107,8 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=0)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--solver_iterations", type=int, default=4)
+    ap.add_argument("--topk", type=int, default=-1,
+                    help="-1 per-model default, 0 full slot table, >0 explicit k")
     args = ap.parse_args(argv)
     if args.env:
         rows = [(args.env, args.batch or 1024, args.steps)]
@@ -112,7 +116,8 @@ def main(argv=None):
         rows = DEFAULT_SWEEP
     for env_id, batch, steps in rows:
         try:
-            row = measure(env_id, batch, steps, args.solver_iterations)
+            row = measure(env_id, batch, steps, args.solver_iterations,
+                          topk=None if args.topk < 0 else args.topk)
         except Exception as e:  # keep sweeping; a row failure is a result too
             row = {"env": env_id, "num_envs": batch, "error": repr(e)[:200]}
         print(json.dumps(row), flush=True)

@@ -67,6 +67,11 @@ class PPOConfig:
     solver_iterations: int = 4
     # lane-major batched physics (physics/lanes.py) vs vmapped reference path
     batch_impl: str = "lanes"               # lanes | vmap
+    # dynamic top-k contact-slot selection on the lanes path (the variable-nc
+    # analogue of MuJoCo's contact handling; lanes.select_topk_contacts):
+    # -1 = per-model default (measured headroom, envs/mujoco_envs.py),
+    # 0 = off (full static slot table), >0 = explicit k
+    contact_topk: int = -1
     agent: str = "gaussian"                 # gaussian | beta
     sample_type: str = "sample"             # beta-agent collection sampling
     # AC-PPO style extensions

@@ -60,13 +60,20 @@ class MujocoEnv:
     action_low: float = -1.0
     action_high: float = 1.0
     needs_cfrc: bool = False
+    # per-model default for dynamic top-k contact-slot selection on the lanes
+    # path (lanes.select_topk_contacts): sized from measured simultaneous-
+    # contact counts with ~2x headroom (runs_curves/count_contacts.py).
+    # None = keep the full static slot table.
+    contact_topk_default: int | None = None
 
     def __init__(self, dtype=jnp.float32, solver_iterations: int | None = None,
-                 solver_type: str = "newton", batch_impl: str = "auto"):
+                 solver_type: str = "newton", batch_impl: str = "auto",
+                 contact_topk: int | None = None):
         self.dtype = dtype
         self.batch_impl = batch_impl
         self.model: Model = smooth.set_const(load_model(gym_asset_path(self.xml)))
-        self.ctx = forward.make_context(self.model)
+        topk = self.contact_topk_default if contact_topk is None else (contact_topk or None)
+        self.ctx = forward.make_context(self.model, topk=topk)
         self.solver_type = solver_type
         # 4 warmstarted Newton iterations track MuJoCo trajectories as tightly
         # as 15 cold ones (tests/test_physics_step.py::
@@ -283,6 +290,7 @@ class HalfCheetah(MujocoEnv):
     xml = "half_cheetah.xml"
     frame_skip = 5
     obs_dim, act_dim = 17, 6
+    contact_topk_default = 8      # S=16 slots; measured max 5 simultaneous
 
     def _reset_noise(self, m, key):
         k1, k2 = jax.random.split(key)
@@ -306,6 +314,7 @@ class Hopper(MujocoEnv):
     xml = "hopper.xml"
     frame_skip = 4
     obs_dim, act_dim = 11, 3
+    contact_topk_default = 6      # S=11 slots; measured max 5 simultaneous
 
     def _reset_noise(self, m, key):
         k1, k2 = jax.random.split(key)
@@ -339,6 +348,7 @@ class Ant(MujocoEnv):
     frame_skip = 5
     obs_dim, act_dim = 105, 8
     needs_cfrc = True
+    contact_topk_default = 12     # S=25 slots; measured max 5 simultaneous
 
     def _reset_noise(self, m, key):
         k1, k2 = jax.random.split(key)
@@ -379,6 +389,7 @@ class Humanoid(MujocoEnv):
     obs_dim, act_dim = 376, 17
     action_low, action_high = -0.4, 0.4
     needs_cfrc = True
+    contact_topk_default = 16     # S=138 slots; see count_contacts.log
 
     def _reset_noise(self, m, key):
         k1, k2 = jax.random.split(key)

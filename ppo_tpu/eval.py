@@ -100,7 +100,8 @@ def main(argv=None):
         if args.sample_type:
             cfg = dataclasses.replace(cfg, sample_type=args.sample_type)
 
-        env = make_env(cfg.env_id, dtype=jnp.float32, solver_iterations=cfg.solver_iterations)
+        env = make_env(cfg.env_id, dtype=jnp.float32, solver_iterations=cfg.solver_iterations,
+                       contact_topk=None if cfg.contact_topk < 0 else cfg.contact_topk)
         use_wrappers = cfg.agent == "gaussian"
         venv = VectorEnv(env, cfg.num_envs, clip_actions=True,
                          normalize_obs=use_wrappers, normalize_reward=use_wrappers)

@@ -32,14 +32,18 @@ class StepContext(NamedTuple):
     meta: constraint.EfcMeta
     has_damping: bool = True
     kind_masks: dict | None = None
+    # per-env top-k contact-slot selection on the lanes path (0/None = off);
+    # see lanes.select_topk_contacts — the dynamic-contact analogue of
+    # MuJoCo's variable nc
+    topk: int | None = None
 
 
-def make_context(m: Model) -> StepContext:
+def make_context(m: Model, topk: int | None = None) -> StepContext:
     slots = collision.contact_slots(m)
     mask = smooth.ancestor_mask(m)
     meta = constraint.make_efc_meta(m, slots, mask)
     return StepContext(slots=slots, mask=mask, meta=meta,
-                       has_damping=bool(np.any(m.dof_damping)))
+                       has_damping=bool(np.any(m.dof_damping)), topk=topk)
 
 
 class ForwardOut(NamedTuple):

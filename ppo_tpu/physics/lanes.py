@@ -740,19 +740,106 @@ class EfcL(NamedTuple):
     aref: jnp.ndarray     # [ne, B]
 
 
+class SelMeta(NamedTuple):
+    """Per-slot constraint metadata AFTER per-env top-k slot selection: the
+    static [S, ...] tables of EfcMeta gathered down to traced [k, ..., *B]
+    arrays (each env picks its own k slots, so the tables become batched)."""
+
+    maskdiff: jnp.ndarray  # [k, nv, *B]
+    C: jnp.ndarray         # [k, NR, 6, *B]
+    rowmask: jnp.ndarray   # [k, NR, *B]
+    approx: jnp.ndarray    # [k, NR, *B]
+    margin: jnp.ndarray    # [k, *B]
+    K: jnp.ndarray         # [k, *B]
+    Bc: jnp.ndarray        # [k, *B]
+    solimp: jnp.ndarray    # [k, 5, *B]
+
+
+def select_topk_contacts(meta, con: ContactsL, k: int, dtype):
+    """Per-env top-k contact-slot selection (the dynamic-contact analogue of
+    MuJoCo's variable nc; MJX's max_contact_points plays the same role).
+
+    The full slot table evaluates every candidate pair every step — Humanoid
+    carries 138 slots -> 552 padded constraint rows of which a handful are
+    ever active (docs/PERF.md). Every [ne, nv, B] tensor downstream (row
+    assembly, Newton H build, J matvecs) scales with ne = L + NR*S, so
+    shrinking S -> k cuts the dominating HBM traffic ~S/k times.
+
+    Selection is EXACT whenever every active slot is among the k selected:
+    inactive rows are masked to J=0/aref=0/R=1, contributing zero force and
+    zero cost to the Newton objective, so dropping them does not change the
+    solve. k is sized per model from measured simultaneous-contact counts
+    (runs_curves/count_contacts.py) with headroom; an env that somehow
+    exceeds k sees its shallowest excess contacts ignored for that step
+    (graceful degradation, like engine contact-buffer caps).
+
+    Gathers run on [S, <=9, *B] collision outputs and [S, ...] static
+    tables — tiny next to the [ne, nv, B] tensors they shrink — and are
+    XLA-path only (Mosaic has no dynamic gather; forward_l guards on
+    KERNEL_MODE)."""
+    Bs = con.dist.shape[1:]
+    nb = len(Bs)
+    # smallest signed distance first among active slots; inactive slots sort
+    # to the back with +inf scores (ties broken by slot index — argsort is
+    # stable — so selection is deterministic)
+    score = jnp.where(con.active, con.dist, jnp.inf)
+    idx = jnp.argsort(score, axis=0)[:k]                       # [k, *B]
+    # restore slot order among the selected (selection is a filter, not a
+    # permutation): row reduction order then matches the full path's, keeping
+    # solver-boundary-sensitive trajectories as close as fp allows
+    idx = jnp.sort(idx, axis=0)
+
+    def gcon(x, nin):
+        ii = idx.reshape((k,) + (1,) * nin + Bs)
+        return jnp.take_along_axis(x, ii, axis=0)
+
+    con_k = ContactsL(
+        dist=jnp.take_along_axis(con.dist, idx, 0),
+        pos=gcon(con.pos, 1),
+        frame=gcon(con.frame, 2),
+        active=jnp.take_along_axis(con.active, idx, 0),
+    )
+
+    def gtab(t):
+        t = jnp.asarray(t, dtype)
+        g = jnp.take(t, idx, axis=0)                           # [k, *B, inner...]
+        nin = t.ndim - 1
+        if nin:
+            perm = (0,) + tuple(range(1 + nb, 1 + nb + nin)) + tuple(range(1, 1 + nb))
+            g = jnp.transpose(g, perm)                         # [k, inner..., *B]
+        return g
+
+    sel = SelMeta(
+        maskdiff=gtab(meta.con_maskdiff),
+        C=gtab(meta.con_C),
+        rowmask=gtab(meta.con_rowmask),
+        approx=gtab(meta.con_approx),
+        margin=gtab(meta.con_margin),
+        K=gtab(meta.con_K),
+        Bc=gtab(meta.con_B),
+        solimp=gtab(meta.con_solimp),
+    )
+    return con_k, sel
+
+
 def _impedance_l(solimp, r):
     """constraint.impedance with solimp [rows, 5] (static or traced consts)
-    and r [rows, B]."""
+    or [rows, 5, *B] (per-env top-k-selected, select_topk_contacts) and
+    r [rows, *B]."""
     dtype = r.dtype
     nb = r.ndim - 1
     solimp = jnp.asarray(solimp, dtype)
-    # (rows, 1[,1]) columns via 2D slice + _exp (not [:, i][:, None]: 2D ->
-    # 1D -> 2D chains can fuse into Mosaic-unsupported relayouts in-kernel)
-    d0 = _exp(solimp[:, 0:1], nb - 1) if nb else solimp[:, 0:1]
-    dmax = _exp(solimp[:, 1:2], nb - 1) if nb else solimp[:, 1:2]
-    width = _exp(solimp[:, 2:3], nb - 1) if nb else solimp[:, 2:3]
-    mid = _exp(solimp[:, 3:4], nb - 1) if nb else solimp[:, 3:4]
-    power = _exp(solimp[:, 4:5], nb - 1) if nb else solimp[:, 4:5]
+    if solimp.ndim > 2:
+        # selected tables already carry the batch dims: columns match r exactly
+        d0, dmax, width, mid, power = (solimp[:, i] for i in range(5))
+    else:
+        # (rows, 1[,1]) columns via 2D slice + _exp (not [:, i][:, None]: 2D ->
+        # 1D -> 2D chains can fuse into Mosaic-unsupported relayouts in-kernel)
+        d0 = _exp(solimp[:, 0:1], nb - 1) if nb else solimp[:, 0:1]
+        dmax = _exp(solimp[:, 1:2], nb - 1) if nb else solimp[:, 1:2]
+        width = _exp(solimp[:, 2:3], nb - 1) if nb else solimp[:, 2:3]
+        mid = _exp(solimp[:, 3:4], nb - 1) if nb else solimp[:, 3:4]
+        power = _exp(solimp[:, 4:5], nb - 1) if nb else solimp[:, 4:5]
     x = jnp.clip(jnp.abs(r) / jnp.where(width <= 0, 1.0, width), 0.0, 1.0)
     a = 1.0 / mid ** (power - 1.0)
     b = 1.0 / (1.0 - mid) ** (power - 1.0)
@@ -761,11 +848,14 @@ def _impedance_l(solimp, r):
     return jnp.clip(d0 + y * (dmax - d0), MINIMP, MAXIMP)
 
 
-def make_efc_l(m: Model, meta, com: ComL, qpos, qvel, con: ContactsL) -> EfcL:
+def make_efc_l(m: Model, meta, com: ComL, qpos, qvel, con: ContactsL,
+               sel: SelMeta | None = None) -> EfcL:
     dtype = qvel.dtype
     B = qvel.shape[1:]
     nb = len(B)
     L, S = meta.n_limit, meta.n_slots
+    if sel is not None:
+        S = con.dist.shape[0]   # k selected slots (select_topk_contacts)
     parts_J, parts_R, parts_aref = [], [], []
 
     if L:
@@ -797,6 +887,7 @@ def make_efc_l(m: Model, meta, com: ComL, qpos, qvel, con: ContactsL) -> EfcL:
         # torsional/rolling (condim>3) rows keep the original 4D formulation;
         # not Mosaic-kernel-eligible (mega.supported excludes needs_jacr) and
         # none of the four locomotion models use it
+        assert sel is None, "top-k selection not wired for condim>3 models"
         assert nb == 1, "needs_jacr path supports flat batch only"
         NR = meta.n_rows
         dof_root = np.maximum(
@@ -865,28 +956,55 @@ def make_efc_l(m: Model, meta, com: ComL, qpos, qvel, con: ContactsL) -> EfcL:
             ca[2][None] * rel[0] - ca[0][None] * rel[2],
             ca[0][None] * rel[1] - ca[1][None] * rel[0],
         ]
-        maskdiff3 = _exp(jnp.asarray(meta.con_maskdiff, dtype), nb)    # (S, nv, 1[,1])
+        if sel is None:
+            maskdiff3 = _exp(jnp.asarray(meta.con_maskdiff, dtype), nb)  # (S, nv, 1[,1])
+            conC = jnp.asarray(meta.con_C, dtype)             # [S, NR, 6]
+            rm = jnp.asarray(meta.con_rowmask, dtype)         # [S, NR]
+            approx = jnp.asarray(meta.con_approx, dtype)      # [S, NR]
+
+            def Ccomp(rr, kk):
+                return _exp(conC[:, rr, kk], nb)
+
+            def rmcol(rr):
+                return _exp(rm[:, rr], nb)
+
+            def apcol(rr):
+                return _exp(approx[:, rr], nb)
+
+            margin = _exp(jnp.asarray(meta.con_margin, dtype), nb)
+            conK = _exp(jnp.asarray(meta.con_K, dtype), nb)
+            conB_col = _exp(jnp.asarray(meta.con_B, dtype), nb)          # (S, 1[,1])
+            solimp = meta.con_solimp
+        else:
+            # per-env selected tables: every column already carries *B dims
+            maskdiff3 = sel.maskdiff
+
+            def Ccomp(rr, kk):
+                return sel.C[:, rr, kk]
+
+            def rmcol(rr):
+                return sel.rowmask[:, rr]
+
+            def apcol(rr):
+                return sel.approx[:, rr]
+
+            margin, conK, conB_col, solimp = sel.margin, sel.K, sel.Bc, sel.solimp
         jacd = [maskdiff3 * (cl[i][None] + cross[i]) for i in range(3)]
         # frame component fr[k][j] = frame[:, k, j] as [S, B]
         frk = [jax.lax.index_in_dim(con.frame, k, 1, keepdims=False) for k in range(3)]
         fr = [[jax.lax.index_in_dim(frk[k], j, 1, keepdims=False) for j in range(3)]
               for k in range(3)]
-        conC = jnp.asarray(meta.con_C, dtype)             # [S, NR, 6]
-        rm = jnp.asarray(meta.con_rowmask, dtype)         # [S, NR]
-        approx = jnp.asarray(meta.con_approx, dtype)      # [S, NR]
 
-        r = con.dist - _exp(jnp.asarray(meta.con_margin, dtype), nb)
-        imp = _impedance_l(meta.con_solimp, r)                        # [S, *B]
-        Kterm = _exp(jnp.asarray(meta.con_K, dtype), nb) * imp * r    # [S, *B]
-        conB_col = _exp(jnp.asarray(meta.con_B, dtype), nb)           # (S, 1[,1])
+        r = con.dist - margin
+        imp = _impedance_l(solimp, r)                                 # [S, *B]
+        Kterm = conK * imp * r                                        # [S, *B]
         Rbase = (1.0 - imp) / imp                                     # [S, B]
 
         rows_J, rows_R, rows_a = [], [], []
         for rr in range(NR):
-            crow = jax.lax.index_in_dim(conC, rr, 1, keepdims=False)  # (S, 6)
             # g[j] = sum_k conC[s, r, k] frame[s, k, j]  — [S, B]-level combine
             g = [
-                sum(_exp(crow[:, k], nb) * fr[k][j] for k in range(3))
+                sum(Ccomp(rr, k) * fr[k][j] for k in range(3))
                 for j in range(3)
             ]
             # Jrow[s, n, *B] = sum_j g[j] jacd[j]
@@ -895,9 +1013,9 @@ def make_efc_l(m: Model, meta, com: ComL, qpos, qvel, con: ContactsL) -> EfcL:
             arefr = -conB_col * velr - Kterm
             # rm is a 0/1 float table: actf = active * rm_col is exact, and
             # avoids [S,B] & (S,1) i1 broadcasts in the kernel
-            actf = con.active.astype(dtype) * _exp(rm[:, rr], nb)
+            actf = con.active.astype(dtype) * rmcol(rr)
             rows_J.append(Jrow * actf[:, None])
-            rows_R.append(actf * (Rbase * _exp(approx[:, rr], nb)) + (1.0 - actf))
+            rows_R.append(actf * (Rbase * apcol(rr)) + (1.0 - actf))
             rows_a.append(arefr * actf)
         if KERNEL_MODE[0]:
             # r-major blocks (order is free for every consumer; a 4D
@@ -946,7 +1064,12 @@ def forward_l(m: Model, ctx, qpos, qvel, ctrl, iterations, warmstart=None) -> Fo
     qacc_smooth = spd_solve_l(M, qfrc_smooth)
 
     con = collide_l(m, kin.geom_xpos, kin.geom_xmat, ctx.slots, ctx.kind_masks)
-    efc = make_efc_l(m, ctx.meta, com, qpos, qvel, con)
+    sel = None
+    topk = getattr(ctx, "topk", None)
+    if topk and not KERNEL_MODE[0] and not ctx.meta.needs_jacr \
+            and topk < ctx.meta.n_slots:
+        con, sel = select_topk_contacts(ctx.meta, con, topk, qvel.dtype)
+    efc = make_efc_l(m, ctx.meta, com, qpos, qvel, con, sel)
 
     ne = efc.J.shape[0]
     if ne:

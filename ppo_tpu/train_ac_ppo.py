@@ -94,6 +94,7 @@ def train(cfg: ACPPOConfig, verbose: bool = True):
             f.write(cfg.to_json())
 
     env = make_env(cfg.env_id, dtype=jnp.float32, solver_iterations=cfg.solver_iterations,
+                   contact_topk=None if cfg.contact_topk < 0 else cfg.contact_topk,
                    batch_impl=cfg.batch_impl)
     venv = VectorEnv(env, cfg.num_envs, clip_actions=cfg.clip_actions)  # normalization baked into model
     model = build_model(cfg, env)

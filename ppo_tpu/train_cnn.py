@@ -313,7 +313,12 @@ def train(cfg: CNNConfig, verbose: bool = True):
     # marks). The mid-iteration sync it needs costs one tunnel RTT, so it is
     # verbose-only — programmatic callers keep fully-overlapped dispatch.
     tt = TicToc(verbose=verbose)
+    tracing = False
     for iteration in progress_range(start_iter, cfg.num_iterations + 1, enabled=verbose):
+        # XLA-op-depth tracing of post-warmup iterations, like train_ppo
+        if cfg.profile and iteration == min(cfg.num_iterations, start_iter + 2):
+            jax.profiler.start_trace(os.path.join(folder, "profile"))
+            tracing = True
         it_start = time.perf_counter()
         key, k_up = jax.random.split(key)
         tt.tic()
@@ -329,6 +334,9 @@ def train(cfg: CNNConfig, verbose: bool = True):
         if verbose:
             float(jax.device_get(stats.total_loss))
             tt.toc("Time for training:")
+        if cfg.profile and tracing and iteration >= min(cfg.num_iterations, start_iter + 4):
+            jax.profiler.stop_trace()
+            tracing = False
         global_step += cfg.batch_size
 
         from ppo_tpu.parallel.dp import fetch_host

@@ -73,6 +73,7 @@ def train(cfg: PPOConfig, verbose: bool = True):
             f.write(cfg.to_json())
 
     env = make_env(cfg.env_id, dtype=jnp.float32, solver_iterations=cfg.solver_iterations,
+                   contact_topk=None if cfg.contact_topk < 0 else cfg.contact_topk,
                    batch_impl=cfg.batch_impl)
     use_wrappers = cfg.agent == "gaussian"  # AC-PPO bakes normalization into the model
     venv = VectorEnv(
