@@ -52,6 +52,30 @@ class StepExtras(NamedTuple):
     ctrl: jax.Array | None = None
 
 
+# Duck-typed stand-ins for the ForwardOut attribute paths the obs builders
+# read (fwd.kin.xpos / fwd.kin.xipos / fwd.com.cinert / fwd.vel.cvel /
+# fwd.qacc), carrying the lanes final substep's batch-first observables
+# (lanes.final_substep_aux) through the vmapped _post_step.
+class _AuxKin(NamedTuple):
+    xpos: jax.Array
+    xipos: jax.Array
+
+
+class _AuxCom(NamedTuple):
+    cinert: jax.Array
+
+
+class _AuxVel(NamedTuple):
+    cvel: jax.Array
+
+
+class _AuxFwd(NamedTuple):
+    kin: _AuxKin
+    com: _AuxCom
+    vel: _AuxVel
+    qacc: jax.Array
+
+
 class MujocoEnv:
     """Shared machinery: physics substepping, reset noise scaffolding."""
 
@@ -258,20 +282,21 @@ class MujocoEnv:
                 state.qpos, state.qvel, ctrl, state.qacc_warmstart,
                 self.frame_skip - 1,
             )
-
-            def final(qp, qv, ct, w):
-                qp2, qv2, fwd = forward.step(
-                    m, ctx, qp, qv, ct, self.iterations, self.solver_type, w
-                )
-                extras = StepExtras(
-                    fwd=fwd,
-                    cfrc_ext=forward.rne_post_constraint(m, fwd.com, fwd.vel, fwd),
-                    ctrl=ct,
-                )
-                return qp2, qv2, extras
-
-            qpos, qvel, extras = jax.vmap(final)(qpos, qvel, ctrl, ws)
-            qacc_next = extras.fwd.qacc
+            # final substep stays on the lanes path too (round 5): the
+            # previous vmapped-reference final substep cost ~4x the other
+            # four substeps combined (batch-first layout, docs/PERF.md);
+            # lanes.final_substep_aux returns the same mjData-visible
+            # observables (cfrc_ext/cinert/cvel/xpos/xipos) batch-first
+            qpos, qvel, qacc_next, auxb = lanes.final_substep_aux(
+                m, ctx, qpos, qvel, ctrl, ws, self.iterations
+            )
+            fwd_duck = _AuxFwd(
+                kin=_AuxKin(xpos=auxb.xpos, xipos=auxb.xipos),
+                com=_AuxCom(cinert=auxb.cinert),
+                vel=_AuxVel(cvel=auxb.cvel),
+                qacc=qacc_next,
+            )
+            extras = StepExtras(fwd=fwd_duck, cfrc_ext=auxb.cfrc_ext, ctrl=ctrl)
             return jax.vmap(
                 self._post_step, in_axes=(None, 0, 0, 0, 0, 0, 0)
             )(m, state, qpos, qvel, ctrl, extras, qacc_next)

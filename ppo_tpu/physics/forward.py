@@ -36,6 +36,10 @@ class StepContext(NamedTuple):
     # see lanes.select_topk_contacts — the dynamic-contact analogue of
     # MuJoCo's variable nc
     topk: int | None = None
+    # static numpy copy of the slot table: consts injection swaps `slots` for
+    # traced arrays, but lanes code builds static scatter masks from the slot
+    # body ids at trace time (lanes.cfrc_ext_l)
+    slots_np: collision.ContactSlots | None = None
 
 
 def make_context(m: Model, topk: int | None = None) -> StepContext:
@@ -43,7 +47,8 @@ def make_context(m: Model, topk: int | None = None) -> StepContext:
     mask = smooth.ancestor_mask(m)
     meta = constraint.make_efc_meta(m, slots, mask)
     return StepContext(slots=slots, mask=mask, meta=meta,
-                       has_damping=bool(np.any(m.dof_damping)), topk=topk)
+                       has_damping=bool(np.any(m.dof_damping)), topk=topk,
+                       slots_np=slots)
 
 
 class ForwardOut(NamedTuple):

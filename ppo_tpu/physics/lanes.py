@@ -753,6 +753,7 @@ class SelMeta(NamedTuple):
     K: jnp.ndarray         # [k, *B]
     Bc: jnp.ndarray        # [k, *B]
     solimp: jnp.ndarray    # [k, 5, *B]
+    onehot: jnp.ndarray    # [k, S, *B] the selection itself (for aux gathers)
 
 
 def select_topk_contacts(meta, con: ContactsL, k: int, dtype):
@@ -773,51 +774,77 @@ def select_topk_contacts(meta, con: ContactsL, k: int, dtype):
     exceeds k sees its shallowest excess contacts ignored for that step
     (graceful degradation, like engine contact-buffer caps).
 
-    Gathers run on [S, <=9, *B] collision outputs and [S, ...] static
-    tables — tiny next to the [ne, nv, B] tensors they shrink — and are
-    XLA-path only (Mosaic has no dynamic gather; forward_l guards on
-    KERNEL_MODE)."""
+    No sorts, no gathers: XLA-TPU lowers both catastrophically (measured
+    argsort of the [S, B] scores alone at 1.4-1.8 ms/forward — more than the
+    entire 569-row Humanoid assembly; runs_curves/bench_topk_parts.py).
+    Selection instead runs k argmin sweeps over the scores (compare/reduce
+    ops at full lane width), builds a slot-ordered one-hot [k, S, *B], and
+    realizes every "gather" as a one-hot multiply-reduce — the static tables
+    in ONE [k,S]x[S,F] einsum the MXU eats. XLA-path only (forward_l guards
+    on KERNEL_MODE)."""
     Bs = con.dist.shape[1:]
     nb = len(Bs)
-    # smallest signed distance first among active slots; inactive slots sort
-    # to the back with +inf scores (ties broken by slot index — argsort is
-    # stable — so selection is deterministic)
-    score = jnp.where(con.active, con.dist, jnp.inf)
-    idx = jnp.argsort(score, axis=0)[:k]                       # [k, *B]
-    # restore slot order among the selected (selection is a filter, not a
-    # permutation): row reduction order then matches the full path's, keeping
-    # solver-boundary-sensitive trajectories as close as fp allows
-    idx = jnp.sort(idx, axis=0)
+    S = con.dist.shape[0]
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (S,) + (1,) * nb, 0)
+    # Distinct finite scores: actives by signed distance (ties broken by
+    # argmin's first-occurrence rule), inactive slots at 1e6 + slot index so
+    # padding picks the lowest-index inactive slots deterministically and no
+    # slot is ever selected twice. (Active |dist| < margin << 1e6 always;
+    # 1e6 + 137 is exact in f32.)
+    score = jnp.where(con.active, con.dist,
+                      jnp.asarray(1e6, dtype) + iota_s.astype(dtype))
+    remaining = score
+    hits = []
+    for _ in range(k):
+        am = jnp.argmin(remaining, axis=0)                     # [*B]
+        oh_r = (iota_s == am[None]).astype(dtype)              # [S, *B]
+        hits.append(oh_r)
+        remaining = jnp.where(oh_r > 0, jnp.asarray(jnp.inf, dtype), remaining)
+    # slot-ordered compaction (selection is a filter, not a permutation: row
+    # reduction order then matches the full path's, keeping solver-boundary-
+    # sensitive trajectories as close as fp allows)
+    selmask = sum(hits)                                        # [S, *B] 0/1
+    pos = jnp.cumsum(selmask, axis=0) - 1.0                    # [S, *B]
+    iota_k = jax.lax.broadcasted_iota(jnp.int32, (k, 1) + (1,) * nb, 0).astype(dtype)
+    oh = selmask[None] * (pos[None] == iota_k).astype(dtype)   # [k, S, *B]
 
-    def gcon(x, nin):
-        ii = idx.reshape((k,) + (1,) * nin + Bs)
-        return jnp.take_along_axis(x, ii, axis=0)
+    def g_env(x, nin):
+        """[S, inner..., *B] -> [k, inner..., *B] one-hot multiply-reduce."""
+        o = oh.reshape((k, S) + (1,) * nin + Bs)
+        return jnp.sum(o * x[None], 1)
 
     con_k = ContactsL(
-        dist=jnp.take_along_axis(con.dist, idx, 0),
-        pos=gcon(con.pos, 1),
-        frame=gcon(con.frame, 2),
-        active=jnp.take_along_axis(con.active, idx, 0),
+        dist=g_env(con.dist, 0),
+        pos=g_env(con.pos, 1),
+        frame=g_env(con.frame, 2),
+        active=g_env(con.active.astype(dtype), 0) > 0.5,
     )
 
-    def gtab(t):
-        t = jnp.asarray(t, dtype)
-        g = jnp.take(t, idx, axis=0)                           # [k, *B, inner...]
-        nin = t.ndim - 1
-        if nin:
-            perm = (0,) + tuple(range(1 + nb, 1 + nb + nin)) + tuple(range(1, 1 + nb))
-            g = jnp.transpose(g, perm)                         # [k, inner..., *B]
-        return g
-
+    # static tables: one [k,S]x[S,F] contraction (batched over *B)
+    nv = jnp.asarray(meta.con_maskdiff).shape[1]
+    NR = jnp.asarray(meta.con_rowmask).shape[1]
+    tabs = [
+        (jnp.asarray(meta.con_maskdiff, dtype), (nv,)),
+        (jnp.asarray(meta.con_C, dtype).reshape(S, NR * 6), (NR, 6)),
+        (jnp.asarray(meta.con_rowmask, dtype), (NR,)),
+        (jnp.asarray(meta.con_approx, dtype), (NR,)),
+        (jnp.asarray(meta.con_margin, dtype)[:, None], ()),
+        (jnp.asarray(meta.con_K, dtype)[:, None], ()),
+        (jnp.asarray(meta.con_B, dtype)[:, None], ()),
+        (jnp.asarray(meta.con_solimp, dtype), (5,)),
+    ]
+    table = jnp.concatenate([t for t, _ in tabs], axis=1)      # [S, F]
+    gathered = jnp.einsum("ks...,sf->kf...", oh, table)        # [k, F, *B]
+    cols, off = [], 0
+    for t, shape in tabs:
+        w = t.shape[1]
+        g = gathered[:, off:off + w]
+        off += w
+        cols.append(g.reshape((k,) + (shape or ()) + Bs) if shape
+                    else g.reshape((k,) + Bs))
     sel = SelMeta(
-        maskdiff=gtab(meta.con_maskdiff),
-        C=gtab(meta.con_C),
-        rowmask=gtab(meta.con_rowmask),
-        approx=gtab(meta.con_approx),
-        margin=gtab(meta.con_margin),
-        K=gtab(meta.con_K),
-        Bc=gtab(meta.con_B),
-        solimp=gtab(meta.con_solimp),
+        maskdiff=cols[0], C=cols[1], rowmask=cols[2], approx=cols[3],
+        margin=cols[4], K=cols[5], Bc=cols[6], solimp=cols[7], onehot=oh,
     )
     return con_k, sel
 
@@ -1043,6 +1070,100 @@ def make_efc_l(m: Model, meta, com: ComL, qpos, qvel, con: ContactsL,
 
 
 # ---------------------------------------------------------------------------
+# post-constraint observables (lane port of forward.rne_post_constraint)
+# ---------------------------------------------------------------------------
+
+
+def cfrc_ext_l(m: Model, ctx, com: ComL, con: ContactsL, sel: SelMeta | None,
+               f: jnp.ndarray) -> jnp.ndarray:
+    """cfrc_ext [nbody, 6, *B] (torque-first, about each body's c-frame
+    origin) from the solved constraint forces — forward.rne_post_constraint's
+    math in lane layout. The scatter-to-bodies runs as static 0/1-mask
+    contractions (full slot table) or one-hot contractions over the selected
+    slots' traced body ids (top-k path) — no dynamic scatters, which XLA-TPU
+    lowers as badly as gathers."""
+    meta = ctx.meta
+    dtype = f.dtype
+    Bs = f.shape[1:]
+    nb = len(Bs)
+    L, NR = meta.n_limit, meta.n_rows
+    Snow = con.dist.shape[0]
+    nbody = int(m.nbody)
+    slots_np = getattr(ctx, "slots_np", None) or ctx.slots
+    body1 = np.asarray(slots_np.body1).astype(int)   # [S] static
+    body2 = np.asarray(slots_np.body2).astype(int)
+    rootid = np.maximum(np.asarray(m.body_rootid), 0)
+
+    f_con = f[L:].reshape((Snow, NR) + Bs)
+    # frame-space wrench per slot: con_C^T f_rows (mj_contactForce decoding)
+    if sel is None:
+        conC = jnp.asarray(meta.con_C, dtype)
+        wr = [sum(f_con[:, r] * _exp(conC[:, r, c], nb) for r in range(NR))
+              for c in range(6)]
+    else:
+        wr = [sum(f_con[:, r] * sel.C[:, r, c] for r in range(NR))
+              for c in range(6)]
+    frk = [jax.lax.index_in_dim(con.frame, kk, 1, keepdims=False) for kk in range(3)]
+    fr = [[jax.lax.index_in_dim(frk[kk], j, 1, keepdims=False) for j in range(3)]
+          for kk in range(3)]
+    force = [sum(wr[kk] * fr[kk][j] for kk in range(3)) for j in range(3)]
+    torque = [sum(wr[3 + kk] * fr[kk][j] for kk in range(3)) for j in range(3)]
+    p = [jax.lax.index_in_dim(con.pos, i, 1, keepdims=False) for i in range(3)]
+
+    org = com.subtree_com                             # [nbody, 3, *B]
+    parts = []                                        # [(scatter, contrib6)]
+    for bids, sign in ((body1, -1.0), (body2, 1.0)):
+        o_all = org[rootid[bids]]                     # [S, 3, *B] static gather
+        nw_s = (bids != 0).astype(float)              # [S] static
+        if sel is not None:
+            oh = sel.onehot                           # [k, S, *B]
+            o_slot = [jnp.sum(oh * jax.lax.index_in_dim(o_all, i, 1, False)[None], 1)
+                      for i in range(3)]              # [k, *B] each
+            bidf = jnp.sum(oh * _exp(jnp.asarray(bids, dtype), nb)[None, :], 1)
+            nw = jnp.sum(oh * _exp(jnp.asarray(nw_s, dtype), nb)[None, :], 1)
+            scat = jnp.stack(
+                [(bidf == n).astype(dtype) for n in range(nbody)], 0
+            )                                         # [nbody, k, *B]
+        else:
+            o_slot = [jax.lax.index_in_dim(o_all, i, 1, False) for i in range(3)]
+            nw = _exp(jnp.asarray(nw_s, dtype), nb)
+            scat = jnp.asarray(
+                np.stack([(bids == n).astype(float) for n in range(nbody)], 0),
+                dtype,
+            )                                         # [nbody, S] static 0/1
+        fb = [sign * force[j] * nw for j in range(3)]
+        rel = [p[i] - o_slot[i] for i in range(3)]
+        tq = [
+            rel[1] * fb[2] - rel[2] * fb[1] + sign * torque[0] * nw,
+            rel[2] * fb[0] - rel[0] * fb[2] + sign * torque[1] * nw,
+            rel[0] * fb[1] - rel[1] * fb[0] + sign * torque[2] * nw,
+        ]
+        parts.append((scat, tq + fb))                 # 6 comps, torque-first
+
+    comps = []
+    for c in range(6):
+        acc = None
+        for scat, contrib in parts:
+            if scat.ndim == 2:                        # static [nbody, S]
+                term = jnp.einsum("ns,s...->n...", scat, contrib[c])
+            else:                                     # traced [nbody, k, *B]
+                term = jnp.sum(scat * contrib[c][None], 1)
+            acc = term if acc is None else acc + term
+        comps.append(acc)
+    return jnp.stack(comps, 1)                        # [nbody, 6, *B]
+
+
+class AuxL(NamedTuple):
+    """Last-forward observables for the env layer (mjData stale-read parity):
+    everything gymnasium's obs builders touch after mj_step."""
+
+    kin: "KinL"
+    com: ComL
+    vel: VelL
+    cfrc_ext: jnp.ndarray | None   # [nbody, 6, *B]
+
+
+# ---------------------------------------------------------------------------
 # forward + integrators (lane ports of physics/forward.py)
 # ---------------------------------------------------------------------------
 
@@ -1052,9 +1173,11 @@ class ForwardLOut(NamedTuple):
     qfrc_smooth: jnp.ndarray     # [nv, B]
     qfrc_constraint: jnp.ndarray # [nv, B]
     M: jnp.ndarray               # [nv, nv, B]
+    aux: AuxL | None = None      # want_aux=True only
 
 
-def forward_l(m: Model, ctx, qpos, qvel, ctrl, iterations, warmstart=None) -> ForwardLOut:
+def forward_l(m: Model, ctx, qpos, qvel, ctrl, iterations, warmstart=None,
+              want_aux=False) -> ForwardLOut:
     kin = kinematics_l(m, qpos)
     com = com_quantities_l(m, kin)
     M = crb_mass_matrix_l(m, com)
@@ -1082,8 +1205,16 @@ def forward_l(m: Model, ctx, qpos, qvel, ctrl, iterations, warmstart=None) -> Fo
     else:
         qacc = qacc_smooth
         qfrc_constraint = jnp.zeros_like(qfrc_smooth)
+    aux = None
+    if want_aux:
+        cfrc = (
+            cfrc_ext_l(m, ctx, com, con, sel, f) if ne
+            else jnp.zeros((int(m.nbody), 6) + qvel.shape[1:], qvel.dtype)
+        )
+        aux = AuxL(kin=kin, com=com, vel=vel, cfrc_ext=cfrc)
     return ForwardLOut(
-        qacc=qacc, qfrc_smooth=qfrc_smooth, qfrc_constraint=qfrc_constraint, M=M
+        qacc=qacc, qfrc_smooth=qfrc_smooth, qfrc_constraint=qfrc_constraint, M=M,
+        aux=aux,
     )
 
 
@@ -1102,9 +1233,10 @@ def integrate_pos_l(m: Model, qpos, qvel, dt):
     return jnp.stack(rows)
 
 
-def _euler_l(m, ctx, qpos, qvel, ctrl, iterations, warmstart):
+def _euler_l(m, ctx, qpos, qvel, ctrl, iterations, warmstart, want_aux=False):
     h = m.opt.timestep
-    fwd = forward_l(m, ctx, qpos, qvel, ctrl, iterations, warmstart)
+    fwd = forward_l(m, ctx, qpos, qvel, ctrl, iterations, warmstart,
+                    want_aux=want_aux)
     if ctx.has_damping:
         damping = jnp.asarray(m.dof_damping, qvel.dtype)
         r_ = jax.lax.broadcasted_iota(jnp.int32, (m.nv, m.nv), 0)
@@ -1118,6 +1250,8 @@ def _euler_l(m, ctx, qpos, qvel, ctrl, iterations, warmstart):
         dv = h * fwd.qacc
     qvel_new = qvel + dv
     qpos_new = integrate_pos_l(m, qpos, qvel_new, h)
+    if want_aux:
+        return qpos_new, qvel_new, fwd.qacc, fwd.aux
     return qpos_new, qvel_new, fwd.qacc
 
 
@@ -1125,32 +1259,43 @@ _RK4_A = ((0.5,), (0.0, 0.5), (0.0, 0.0, 1.0))
 _RK4_B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
 
 
-def _rk4_l(m, ctx, qpos, qvel, ctrl, iterations, warmstart):
+def _rk4_l(m, ctx, qpos, qvel, ctrl, iterations, warmstart, want_aux=False):
     h = m.opt.timestep
     fwd0 = forward_l(m, ctx, qpos, qvel, ctrl, iterations, warmstart)
     Fv = [qvel]
     Fa = [fwd0.qacc]
+    fwd_i = fwd0
     for i in range(3):
         dv = sum(a * v for a, v in zip(_RK4_A[i], Fv) if a)
         da = sum(a * acc for a, acc in zip(_RK4_A[i], Fa) if a)
         qpos_i = integrate_pos_l(m, qpos, dv, h)
         qvel_i = qvel + h * da
-        fwd_i = forward_l(m, ctx, qpos_i, qvel_i, ctrl, iterations, Fa[-1])
+        # mjData observables live at the LAST RK stage's trial state after
+        # mj_step (forward._rk4_step); aux only there
+        fwd_i = forward_l(m, ctx, qpos_i, qvel_i, ctrl, iterations, Fa[-1],
+                          want_aux=want_aux and i == 2)
         Fv.append(qvel_i)
         Fa.append(fwd_i.qacc)
     dv = sum(b * v for b, v in zip(_RK4_B, Fv))
     da = sum(b * a for b, a in zip(_RK4_B, Fa))
     qpos_new = integrate_pos_l(m, qpos, dv, h)
     qvel_new = qvel + h * da
+    if want_aux:
+        return qpos_new, qvel_new, Fa[-1], fwd_i.aux
     return qpos_new, qvel_new, Fa[-1]
 
 
-def step_l(m: Model, ctx, qpos, qvel, ctrl, iterations, warmstart):
+def step_l(m: Model, ctx, qpos, qvel, ctrl, iterations, warmstart,
+           want_aux=False):
     """One lane-major mj_step: [*, B] in, [*, B] out; returns qacc for the
-    next step's warmstart (qacc_warmstart semantics of forward.step)."""
+    next step's warmstart (qacc_warmstart semantics of forward.step).
+    want_aux=True additionally returns the mjData-visible observables
+    (AuxL of the last forward — stale-read parity with forward.step)."""
     if m.opt.integrator == EULER:
-        return _euler_l(m, ctx, qpos, qvel, ctrl, iterations, warmstart)
-    return _rk4_l(m, ctx, qpos, qvel, ctrl, iterations, warmstart)
+        return _euler_l(m, ctx, qpos, qvel, ctrl, iterations, warmstart,
+                        want_aux=want_aux)
+    return _rk4_l(m, ctx, qpos, qvel, ctrl, iterations, warmstart,
+                  want_aux=want_aux)
 
 
 def lanes_supported(m: Model, ctx, solver_type: str) -> bool:
@@ -1210,3 +1355,49 @@ def substeps_batched(m: Model, ctx, qpos, qvel, ctrl, warmstart, iterations,
 
         (qp, qv, ws), _ = jax.lax.scan(body, (qp, qv, ws), None, length=n_sub)
     return from_l(qp), from_l(qv), from_l(ws)
+
+
+class AuxB(NamedTuple):
+    """Batch-first observables of the final substep, for the env layer's
+    vmapped _post_step (exactly the fields gymnasium's stale reads touch)."""
+
+    xpos: jnp.ndarray      # [B, nbody, 3]
+    xipos: jnp.ndarray     # [B, nbody, 3]
+    cinert: jnp.ndarray    # [B, nbody, 6, 6]
+    cvel: jnp.ndarray      # [B, nbody, 6]
+    cfrc_ext: jnp.ndarray  # [B, nbody, 6]
+
+
+def final_substep_aux(m: Model, ctx, qpos, qvel, ctrl, warmstart, iterations,
+                      tile2d=None):
+    """One lane-major substep that ALSO returns the mjData-visible
+    observables batch-first — replaces the env layer's per-step fallback to
+    the vmapped reference path for cfrc_ext envs (the round-5 Ant/Humanoid
+    bottleneck: that vmapped final substep cost ~4x the other four substeps
+    combined). Batch-first in/out like substeps_batched."""
+    B = qpos.shape[0]
+    if tile2d is None:
+        tile2d = B % 128 == 0 and B >= 256 and not ctx.meta.needs_jacr
+
+    if tile2d:
+        def to_l(x):
+            return x.T.reshape(x.shape[1], B // 128, 128)
+    else:
+        def to_l(x):
+            return x.T
+
+    def from_l_any(x):
+        # [lead..., *Bs] -> [B, lead...]
+        lead = x.shape[: x.ndim - (2 if tile2d else 1)]
+        return jnp.moveaxis(x.reshape(lead + (B,)), -1, 0)
+
+    qp, qv, ct, ws = to_l(qpos), to_l(qvel), to_l(ctrl), to_l(warmstart)
+    qp, qv, qacc, aux = step_l(m, ctx, qp, qv, ct, iterations, ws, want_aux=True)
+    auxb = AuxB(
+        xpos=from_l_any(aux.kin.xpos),
+        xipos=from_l_any(aux.kin.xipos),
+        cinert=from_l_any(aux.com.cinert),
+        cvel=from_l_any(aux.vel.cvel),
+        cfrc_ext=from_l_any(aux.cfrc_ext),
+    )
+    return from_l_any(qp), from_l_any(qv), from_l_any(qacc), auxb
