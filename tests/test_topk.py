@@ -125,6 +125,31 @@ def test_topk_trajectory_matches_full(env_id):
     np.testing.assert_allclose(np.asarray(qv), np.asarray(qvB), atol=5e-4)
 
 
+def test_step_batch_aux_matches_vmap_step_ant():
+    """The lanes-native final substep (final_substep_aux: cfrc_ext/cinert/
+    cvel/xpos observables) must reproduce the vmapped reference path through
+    the FULL env step — obs (incl. clipped cfrc_ext), reward (incl. contact
+    cost), terminations. Ant exercises every piece of the aux path; Humanoid
+    shares the code and its extra reads (cinert/cvel/xipos) are pinned by
+    test_lanes stage equivalence."""
+    env = make_env("Ant-v5", dtype=jnp.float64, solver_iterations=4)
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    state, _ = jax.vmap(env.reset, in_axes=(0, None))(keys, env.consts)
+    sb = jax.jit(lambda s, a: env.step_batch(s, a, env.consts))
+    sv = jax.jit(jax.vmap(lambda s, a: env.step(s, a, env.consts), in_axes=(0, 0)))
+    key = jax.random.PRNGKey(1)
+    sA = sB_ = state
+    for _ in range(6):
+        key, kk = jax.random.split(key)
+        a = jax.random.uniform(kk, (B, env.act_dim), minval=-1.0, maxval=1.0,
+                               dtype=jnp.float64)
+        sA, oA, rA, tA, _ = sb(sA, a)
+        sB_, oB, rB, tB, _ = sv(sB_, a)
+        np.testing.assert_allclose(np.asarray(oA), np.asarray(oB), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(rA), np.asarray(rB), atol=1e-10)
+        np.testing.assert_array_equal(np.asarray(tA), np.asarray(tB))
+
+
 def test_truncation_degrades_gracefully():
     """k=1 on a multi-contact state must still produce finite physics (the
     shallowest contacts are ignored, not corrupted)."""
