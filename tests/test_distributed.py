@@ -142,6 +142,7 @@ def test_ac_update_dp_equals_big_batch():
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow  # ~25 s; dryrun_multichip CNN leg covers the shard path every round
 def test_cnn_trainer_dp_runs(tmp_path):
     from ppo_tpu.train_cnn import CNNConfig, train
 

@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 
 from ppo_tpu.physics import collision, forward, smooth
+
+pytestmark = pytest.mark.slow  # box colliders are outside the four locomotion models
 from ppo_tpu.physics.model import load_model
 
 

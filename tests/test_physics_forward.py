@@ -36,7 +36,14 @@ def contact_state(mj, seed, drop):
     return d
 
 
-@pytest.mark.parametrize("xml", XMLS)
+@pytest.mark.parametrize("xml", [
+    "half_cheetah.xml", "hopper.xml",
+    # ant/humanoid variants are the fast tier's two heaviest compiles
+    # (~17-21 s each warm); their qacc fidelity stays covered in the slow
+    # tier, and the fast tier keeps cheetah+hopper plus every cfrc test
+    pytest.param("ant.xml", marks=pytest.mark.slow),
+    pytest.param("humanoid.xml", marks=pytest.mark.slow),
+])
 @pytest.mark.parametrize("seed,drop", [(0, 0.15), (1, 0.0), (2, 0.3)])
 @pytest.mark.parametrize("solver_type,iters", [("newton", 30), ("pgs", 500)])
 def test_qacc_matches_mujoco(xml, seed, drop, solver_type, iters):

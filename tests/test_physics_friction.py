@@ -113,6 +113,7 @@ def test_capsule_efc_rows_and_qacc(condim):
     np.testing.assert_allclose(np.asarray(fwd.qacc), d.qacc, atol=5e-4, rtol=1e-4)
 
 
+@pytest.mark.slow  # ~12 s; condim-6 fidelity (no locomotion model uses it)
 def test_two_spheres_condim6():
     m, mj = load_pair_str(TWO_SPHERES_XML)
     d = forward_state(mj, [0.5, 0, 0, 1, 2, 3, -0.5, 0, 0, -1, 0, 1])

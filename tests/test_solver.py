@@ -61,6 +61,7 @@ def test_warmstart_is_transparent_and_faster():
     np.testing.assert_allclose(np.asarray(f_bad), np.asarray(f_ref), atol=1e-6)
 
 
+@pytest.mark.slow  # ~15 s; convergence-rate property, accuracy suites stay fast
 def test_exact_line_search_converges_in_few_iterations():
     """The exact 1-D minimize makes per-iteration progress at least as good as
     the old fixed step grid: 8 iterations reach the 30-iteration optimum even

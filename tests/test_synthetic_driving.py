@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ppo_tpu.envs.synthetic_driving import SyntheticDriving
 
@@ -48,6 +49,7 @@ def test_offroad_terminates():
     assert terminated, "hard steering should leave the road"
 
 
+@pytest.mark.slow  # ~20 s; bf16 numerics, niche for the fast tier
 def test_cnn_bf16_compute_matches_f32():
     """compute_dtype=bfloat16 (mixed precision for the MXU) keeps the same
     f32 param tree — checkpoints interchange — and its outputs track the f32
