@@ -988,9 +988,14 @@ def make_efc_l(m: Model, meta, com: ComL, qpos, qvel, con: ContactsL,
             conC = jnp.asarray(meta.con_C, dtype)             # [S, NR, 6]
             rm = jnp.asarray(meta.con_rowmask, dtype)         # [S, NR]
             approx = jnp.asarray(meta.con_approx, dtype)      # [S, NR]
+            # exact pre-round-5 slicing (index_in_dim row then column): keeps
+            # the emitted HLO — and thus fusion rounding — identical to the
+            # formulation the equivalence tolerances were pinned against
+            crows = [jax.lax.index_in_dim(conC, rr, 1, keepdims=False)
+                     for rr in range(NR)]
 
             def Ccomp(rr, kk):
-                return _exp(conC[:, rr, kk], nb)
+                return _exp(crows[rr][:, kk], nb)
 
             def rmcol(rr):
                 return _exp(rm[:, rr], nb)

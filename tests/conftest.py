@@ -54,44 +54,48 @@ def _needs_isolation(item):
 
 
 def _lanes_results(item):
-    """Run tests/test_lanes.py once in a child pytest, return {name: (outcome,
-    message)} parsed from its junit xml."""
-    if _lanes_cache:
-        return _lanes_cache
+    """Run ONE test_lanes item in its own child pytest (the segfault can
+    strike between heavy in-process compiles WITHIN the file too, not just
+    after it — each item gets a fresh process; the persistent compile cache
+    keeps repeat compiles cheap). Returns (outcome, message), cached per
+    nodeid."""
+    if item.nodeid in _lanes_cache:
+        return _lanes_cache[item.nodeid]
     import subprocess
     import sys
     import tempfile
     import xml.etree.ElementTree as ET
 
     xml_path = os.path.join(tempfile.mkdtemp(), "lanes.xml")
-    cmd = [sys.executable, "-m", "pytest", str(item.fspath), "-q",
+    target = f"{item.fspath}::{item.name}"
+    cmd = [sys.executable, "-m", "pytest", target, "-q",
            f"--junitxml={xml_path}", "-p", "no:cacheprovider"]
-    markexpr = item.config.option.markexpr
-    if markexpr:
-        cmd += ["-m", markexpr]
-    if item.config.option.keyword:
-        cmd += ["-k", item.config.option.keyword]
     env = dict(os.environ, **{_LANES_GUARD: "1"})
     proc = subprocess.run(cmd, capture_output=True, text=True, env=env,
                           cwd=os.path.dirname(os.path.dirname(__file__)))
+    result = None
     try:
         root = ET.parse(xml_path).getroot()
         for case in root.iter("testcase"):
-            name = case.attrib["name"]
+            if case.attrib["name"] != item.name:
+                continue
             if case.find("failure") is not None or case.find("error") is not None:
                 node = case.find("failure") if case.find("failure") is not None else case.find("error")
-                _lanes_cache[name] = ("failed", node.attrib.get("message", "") + "\n" + (node.text or ""))
+                result = ("failed", node.attrib.get("message", "") + "\n" + (node.text or ""))
             elif case.find("skipped") is not None:
-                _lanes_cache[name] = ("skipped", case.find("skipped").attrib.get("message", ""))
+                result = ("skipped", case.find("skipped").attrib.get("message", ""))
             else:
-                _lanes_cache[name] = ("passed", "")
+                result = ("passed", "")
     except Exception:
-        _lanes_cache["__error__"] = (
+        pass
+    if result is None:
+        result = (
             "failed",
-            f"child pytest for test_lanes.py produced no junit xml (rc {proc.returncode})\n"
+            f"child pytest for {target} produced no junit result (rc {proc.returncode})\n"
             f"stdout:\n{proc.stdout[-4000:]}\nstderr:\n{proc.stderr[-4000:]}",
         )
-    return _lanes_cache
+    _lanes_cache[item.nodeid] = result
+    return _lanes_cache[item.nodeid]
 
 
 def pytest_runtest_protocol(item, nextitem):
@@ -99,11 +103,7 @@ def pytest_runtest_protocol(item, nextitem):
         return None
     from _pytest.reports import TestReport
 
-    results = _lanes_results(item)
-    outcome, msg = results.get(
-        item.name,
-        results.get("__error__", ("failed", "missing from child test_lanes run")),
-    )
+    outcome, msg = _lanes_results(item)
     item.ihook.pytest_runtest_logstart(nodeid=item.nodeid, location=item.location)
     reports = []
     for when in ("setup", "call", "teardown"):
